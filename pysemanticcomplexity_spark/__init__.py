@@ -1,0 +1,55 @@
+"""pysemanticcomplexity_spark — a PySpark-native knowledge-graph construction engine.
+
+A brand-new, Spark-first re-expression of the data-processing capabilities of
+afel-project/pySemanticComplexity (reference at /root/reference, cited by
+file:line throughout):
+
+  pages(url, warc_ts, html, text, lang)
+    -> clean/split/filter/tokenize          (reference parsers/preprocessing/text.py)
+    -> deterministic gazetteer annotation   (replaces Spotlight REST,
+                                             parsers/semantic/dbpediaClients.py:21-76)
+    -> entity disambiguation                (groupBy.applyInPandas / shuffle-free local)
+    -> KB enrichment joins                  (replaces SPARQL endpoints,
+                                             dbpediaClients.py:79-279)
+    -> concept-graph triples + ontology closure
+                                            (parsers/semantic/graphs/builders.py,
+                                             ontologies.py)
+    -> per-document 25-feature semantic-complexity vectors
+                                            (parsers/semantic/graphs/tranformers.py)
+
+Everything is DataFrame API + Arrow-vectorized pandas UDFs; no RDDs, no
+row-at-a-time Python UDFs.
+"""
+
+__version__ = "0.1.0"
+
+VIRTUAL_ROOT = "#AbstractConcept#"
+"""Virtual taxonomy root. Reference: ontologies.py:17 (`_CONCEPT_URIREF`)."""
+
+# Managed namespaces, insertion order matters for canonicalization tie-breaks.
+# Reference: utils/resources.py:21-28 (keys DBPedia/Schema/yago).
+MANAGED_NAMESPACES = {
+    "DBPedia": "http://dbpedia.org/ontology/",
+    "Schema": "http://schema.org/",
+    "yago": "http://dbpedia.org/class/yago/",
+}
+
+FEATURE_COLUMNS = [
+    # Reference order: tranformers.py:60-64 (18 global) then per-namespace
+    # pairs in managed-namespace insertion order (tranformers.py:167-186);
+    # `filename` prepended as in subprograms/text2vectors.py:85-91.
+    "filename",
+    "nbWord", "nbConcepts", "nbUniqueConcepts",
+    "conceptsWordsRatio", "uniqueConceptsWordsRatio",
+    "nbNodes", "radius", "diameter", "assortativity", "density",
+    "textDensityMean", "textDensityStd",
+    "nbTypesMean", "nbTypesStd",
+    "nbLinkInMean", "nbLinkInStd",
+    "nbLinkOutMean", "nbLinkOutStd",
+    "nbNodes_DBPedia", "density_DBPedia",
+    "nbNodes_Schema", "density_Schema",
+    "nbNodes_yago", "density_yago",
+]
+
+PRED_HAS_TYPE = "hasType"
+PRED_SUBCLASS_OF = "subClassOf"

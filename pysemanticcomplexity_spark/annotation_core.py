@@ -1,0 +1,110 @@
+"""Deterministic in-cluster mention annotator (Spotlight REST replacement).
+
+The reference calls a DBpedia Spotlight HTTP endpoint per paragraph
+(/root/reference/parsers/semantic/dbpediaClients.py:21-76,
+batchprocessing/semantic/conceptExtraction.py:22-31). There is no network
+here, so annotation is re-specified as a deterministic, local computation
+against a broadcast gazetteer of surface forms:
+
+* tokens are ``\\w+`` runs (unicode); offsets are Python-str character
+  offsets, like Spotlight's ``@offset`` (conceptExtraction.py:29 adds
+  paragraph char lengths — char, not byte, arithmetic);
+* longest-match-first, non-overlapping, case-insensitive: at each token try
+  the longest surface (up to the gazetteer's max token count), on a hit emit
+  one mention and continue after it;
+* candidate scoring: ``similarity_score = prior / sum(priors of the
+  surface's candidates)``; ``percentage_second_rank = sim2 / sim1`` (0.0 when
+  unambiguous), mirroring the *shape* of Spotlight's ``@similarityScore`` /
+  ``@percentageOfSecondRank`` (dbpediaClients.py:66-73);
+* disambiguation picks the max-similarity candidate, ties broken by
+  lexicographically smallest URI;
+* the mention is kept only when the best similarity >= ``confidence``
+  (Spotlight's server-side confidence filter; default 0.5 per
+  subprograms/text2vectors.py:134-135);
+* ``@types`` is a comma-joined string split on ','; empty -> []
+  (dbpediaClients.py:63-64).
+
+Pure Python + tiny dicts: safe and cheap inside Arrow-batched
+``mapInPandas`` workers with the gazetteer shipped once per executor via
+``SparkContext.broadcast``.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, List, Tuple
+
+__all__ = ["GazetteerMatcher", "Mention"]
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+# Mention tuple fields (kept a plain tuple for Arrow friendliness):
+# (offset, surface, uri, types_list, similarity, psr, support, n_candidates)
+Mention = Tuple[int, str, str, List[str], float, float, int, int]
+
+
+class GazetteerMatcher:
+    """Longest-match gazetteer annotator over one paragraph at a time."""
+
+    def __init__(self, rows, confidence: float = 0.5):
+        """rows: iterable of (surface, uri, support, prior, spotlight_types_csv)."""
+        self.confidence = confidence
+        index: Dict[str, List[Tuple[str, int, float, str]]] = {}
+        max_len = 1
+        for surface, uri, support, prior, types_csv in rows:
+            key = surface.lower()
+            index.setdefault(key, []).append((uri, int(support), float(prior), types_csv))
+            max_len = max(max_len, key.count(" ") + 1)
+        self.index = index
+        self.max_tokens = max_len
+        # Precompute per-surface scored candidates (deterministic order).
+        self._scored: Dict[str, List[Tuple[float, str, int, str, float]]] = {}
+        for key, cands in index.items():
+            total = sum(prior for _, _, prior, _ in cands) or 1.0
+            scored = sorted(
+                ((prior / total, uri, support, types_csv, prior)
+                 for uri, support, prior, types_csv in cands),
+                key=lambda x: (-x[0], x[1]),
+            )
+            self._scored[key] = scored
+
+    def annotate(self, paragraph: str) -> Iterator[Mention]:
+        """Yield best-candidate mentions, in paragraph order."""
+        for offset, surface, key in self._match_spans(paragraph):
+            scored = self._scored[key]
+            best_sim, best_uri, best_support, best_types, _ = scored[0]
+            if best_sim < self.confidence:
+                continue
+            psr = (scored[1][0] / best_sim) if len(scored) > 1 else 0.0
+            types = best_types.split(",") if best_types else []
+            yield (offset, surface, best_uri, types, best_sim, psr,
+                   best_support, len(scored))
+
+    def annotate_candidates(self, paragraph: str) -> Iterator[Mention]:
+        """Yield *all* candidates per matched span (for the explicit
+        groupBy(url, mention).applyInPandas disambiguation stage)."""
+        for offset, surface, key in self._match_spans(paragraph):
+            scored = self._scored[key]
+            psr = (scored[1][0] / scored[0][0]) if len(scored) > 1 else 0.0
+            for sim, uri, support, types_csv, _ in scored:
+                types = types_csv.split(",") if types_csv else []
+                yield (offset, surface, uri, types, sim, psr, support, len(scored))
+
+    def _match_spans(self, paragraph: str):
+        tokens = [(m.start(), m.end(), m.group().lower())
+                  for m in _TOKEN_RE.finditer(paragraph)]
+        i, n = 0, len(tokens)
+        while i < n:
+            hit = None
+            for k in range(min(self.max_tokens, n - i), 0, -1):
+                key = " ".join(t[2] for t in tokens[i:i + k])
+                if key in self.index:
+                    hit = (k, key)
+                    break
+            if hit is None:
+                i += 1
+                continue
+            k, key = hit
+            start = tokens[i][0]
+            end = tokens[i + k - 1][1]
+            yield (start, paragraph[start:end], key)
+            i += k

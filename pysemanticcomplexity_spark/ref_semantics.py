@@ -1,0 +1,403 @@
+"""Pure-Python re-implementation of the reference pipeline semantics.
+
+This is the *oracle* used by the test suite (SURVEY.md §5): a non-Spark,
+reference-shaped implementation (lists/dicts/sets, per-document loops) of
+every stage, mirroring /root/reference file-by-file so the Spark engine can
+be checked against it on fixture data. It deliberately follows the
+reference's control flow rather than the engine's, so the two
+implementations are independent except for the shared annotator spec
+(annotation_core.py — the reference's annotator was an external HTTP
+service, replaced by that deterministic local spec).
+
+Reference citations:
+* text cleaning/splitting/filtering/tokenizing —
+  parsers/preprocessing/text.py:29-63
+* per-paragraph annotation + offset re-basing  —
+  batchprocessing/semantic/conceptExtraction.py:22-46
+* enrichment joins + zero-fill defaults        —
+  batchprocessing/semantic/conceptsEnrichment.py:14-43,
+  parsers/semantic/dbpediaClients.py:83-90,197-208
+* graph assembly                               —
+  parsers/semantic/graphs/builders.py:51-121,194-240
+* feature vectorization                        —
+  parsers/semantic/graphs/tranformers.py:40-186
+
+Documented divergences from the reference (both unreachable or crashing
+paths in the original):
+* zero-word documents: the reference raises ZeroDivisionError on the
+  concepts/words ratios (tranformers.py:49-50) — we emit NaN;
+* zero-node graphs: reference `feat_text_dentity` returns scalar 0, which
+  breaks the fixed 18-wide feature stack (tranformers.py:111-112) — we emit
+  (NaN, NaN), consistent with the <2-resource-nodes path.
+"""
+from __future__ import annotations
+
+import re
+from itertools import combinations
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from . import MANAGED_NAMESPACES, VIRTUAL_ROOT
+from .annotation_core import GazetteerMatcher
+from .ontology import OntologyIndex
+from .treebank import count_words
+
+# --------------------------------------------------------------------------
+# P1-P5: text preprocessing (text.py:12-63)
+# --------------------------------------------------------------------------
+
+_WRONG_CHAR_FILTER = re.compile(
+    "[" + "".join(chr(i) for i in range(0, 0x0A))
+    + "".join(chr(i) for i in range(0x0B, 0x20))
+    + "".join(chr(i) for i in range(0x80, 0x9F)) + "]")
+PARAGRAPH_THRESHOLD = 150
+
+
+def clean_text(text: str) -> str:
+    return _WRONG_CHAR_FILTER.sub(" ", text)
+
+
+def split_to_paragraphs(text: str) -> List[str]:
+    return re.split("\n\n", text)
+
+
+def filter_paragraphs(paragraphs: List[str]) -> List[str]:
+    return [p for p in paragraphs if len(p) > PARAGRAPH_THRESHOLD]
+
+
+def process_to_paragraphs(text: str) -> List[str]:
+    return filter_paragraphs(split_to_paragraphs(clean_text(text)))
+
+
+# --------------------------------------------------------------------------
+# S7 + P6: annotation with offset re-basing (conceptExtraction.py:22-46)
+# --------------------------------------------------------------------------
+
+def text_to_concepts(text: str, matcher: GazetteerMatcher) -> dict:
+    """Mirror of text_to_entities: {'nb_words': int, 'mentions': [dict]}.
+
+    Mentions carry document-level offsets: paragraph offsets shifted by the
+    summed char length of previously processed paragraphs (no separators),
+    conceptExtraction.py:27-29.
+    """
+    paragraphs = process_to_paragraphs(text)
+    nb_words = sum(count_words(p) for p in paragraphs) if paragraphs else 0
+    mentions = []
+    offset_span = 0
+    for p in paragraphs:
+        for (offset, surface, uri, types, sim, psr, support, ncand) in matcher.annotate(p):
+            mentions.append({
+                "uri": uri, "types": types,
+                "offset": offset + offset_span, "surface": surface,
+                "similarity_score": sim, "percentage_second_rank": psr,
+                "support": support,
+            })
+        offset_span += len(p)
+    return {"nb_words": nb_words, "mentions": mentions}
+
+
+# --------------------------------------------------------------------------
+# A1-A4: enrichment (conceptsEnrichment.py:14-43)
+# --------------------------------------------------------------------------
+
+def enrich(uris: Iterable[str],
+           instance_types: List[Tuple[str, str]],
+           kb_triples: List[Tuple[str, str, str]]) -> Dict[str, dict]:
+    """uri -> {'types': [..sorted..], 'nb_links_in': int, 'nb_links_out': int}."""
+    types_map: Dict[str, set] = {}
+    for uri, type_uri in instance_types:
+        types_map.setdefault(uri, set()).add(type_uri)
+    inlinks: Dict[str, int] = {}
+    outlinks: Dict[str, int] = {}
+    for subj, _pred, obj in kb_triples:
+        inlinks[obj] = inlinks.get(obj, 0) + 1
+        outlinks[subj] = outlinks.get(subj, 0) + 1
+    info = {}
+    for uri in uris:
+        info[uri] = {
+            "types": sorted(types_map.get(uri, set())),
+            "nb_links_in": inlinks.get(uri, 0),
+            "nb_links_out": outlinks.get(uri, 0),
+        }
+    return info
+
+
+# --------------------------------------------------------------------------
+# G1-G3: graph assembly (builders.py:51-121)
+# --------------------------------------------------------------------------
+
+class DocGraph:
+    """Undirected simple graph with attr-bearing nodes (nx.Graph stand-in)."""
+
+    def __init__(self, nb_words: Optional[int]):
+        self.nb_words = nb_words
+        self.nodes: Dict[str, dict] = {}
+        self.edges: set = set()          # frozenset pairs
+
+    def add_node(self, node: str, **attrs):
+        self.nodes.setdefault(node, {}).update(attrs)
+
+    def add_edge(self, a: str, b: str):
+        self.nodes.setdefault(a, {})
+        self.nodes.setdefault(b, {})
+        if a != b:
+            self.edges.add(frozenset((a, b)))
+        else:
+            self.edges.add(frozenset((a,)))
+
+    def degree(self) -> Dict[str, int]:
+        deg = {n: 0 for n in self.nodes}
+        for e in self.edges:
+            pair = tuple(e)
+            if len(pair) == 1:
+                deg[pair[0]] += 2
+            else:
+                deg[pair[0]] += 1
+                deg[pair[1]] += 1
+        return deg
+
+    def adjacency(self) -> Dict[str, List[str]]:
+        adj: Dict[str, List[str]] = {n: [] for n in self.nodes}
+        for e in self.edges:
+            pair = tuple(e)
+            if len(pair) == 2:
+                adj[pair[0]].append(pair[1])
+                adj[pair[1]].append(pair[0])
+        return adj
+
+
+def build_graph(concepts: dict, concept_info: Dict[str, dict],
+                onto: OntologyIndex) -> DocGraph:
+    """Mirror of GraphBuilder.build_sub_graph_from_entities (builders.py:54-121)."""
+    mentions = concepts["mentions"]
+    counter: Dict[str, int] = {}
+    for m in mentions:
+        counter[m["uri"]] = counter.get(m["uri"], 0) + 1
+    last: Dict[str, dict] = {}
+    for m in mentions:                     # dict((r.uri, r)): last mention wins
+        last[m["uri"]] = m
+
+    g = DocGraph(nb_words=concepts["nb_words"])
+    for uri, mention in last.items():
+        attrs = {"resource": True, "count": counter[uri], "offset": mention["offset"]}
+        info = concept_info.get(uri)
+        if info is not None:               # builders.py:77-83
+            attrs["nbTypes"] = len(info["types"])
+            attrs["nbLinksIn"] = info["nb_links_in"]
+            attrs["nbLinksOut"] = info["nb_links_out"]
+        g.add_node(uri, **attrs)
+
+        # P8 type assembly (builders.py:106-121)
+        raw_types = list(mention["types"])
+        if info is not None:
+            raw_types.extend(info["types"])
+        types = set()
+        for t in raw_types:
+            c = onto.str_to_managed_uri(t)
+            if c is not None:
+                types.add(c)
+
+        if types:
+            for rsc_type in sorted(types):
+                g.add_node(rsc_type, resource=False)
+                g.add_edge(uri, rsc_type)
+                for (cl, parent) in sorted(onto.closure_edges(rsc_type)):
+                    g.add_node(parent, resource=False)
+                    g.add_edge(cl, parent)
+        else:                              # builders.py:101-104
+            g.add_edge(uri, VIRTUAL_ROOT)
+    return g
+
+
+def graph_triples(url: str, g: DocGraph) -> set:
+    """Directed triple view of the graph for P/R comparison:
+    (url, subj, pred, obj) with pred hasType (resource->type / resource->root)
+    and subClassOf (class->class edges)."""
+    triples = set()
+    resources = {n for n, a in g.nodes.items() if a.get("resource") is True}
+    for e in g.edges:
+        pair = sorted(e)
+        if len(pair) == 1:
+            a = b = pair[0]
+        else:
+            a, b = pair
+        if a in resources and b not in resources:
+            triples.add((url, a, "hasType", b))
+        elif b in resources and a not in resources:
+            triples.add((url, b, "hasType", a))
+        else:
+            triples.add((url, a, "subClassOf", b))
+    return triples
+
+
+# --------------------------------------------------------------------------
+# M1-M10: vectorization (tranformers.py:40-186)
+# --------------------------------------------------------------------------
+
+def _bfs_lengths(adj: Dict[str, List[str]], src: str) -> Dict[str, int]:
+    dist = {src: 0}
+    frontier = [src]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _eccentricities(g: DocGraph) -> List[int]:
+    adj = g.adjacency()
+    eccs = []
+    n = len(g.nodes)
+    for node in g.nodes:
+        dist = _bfs_lengths(adj, node)
+        if len(dist) != n:
+            raise ValueError("graph is disconnected; eccentricity undefined")
+        eccs.append(max(dist.values()))
+    return eccs
+
+
+def _assortativity(g: DocGraph) -> float:
+    """nx.degree_pearson_correlation_coefficient equivalent: Pearson r of
+    endpoint degrees over both orientations of every edge (tranformers.py:92-97)."""
+    deg = g.degree()
+    xs, ys = [], []
+    for e in g.edges:
+        pair = tuple(e)
+        if len(pair) == 1:
+            u = v = pair[0]
+        else:
+            u, v = pair
+        xs.extend((deg[u], deg[v]))
+        ys.extend((deg[v], deg[u]))
+    if not xs:
+        return float("nan")
+    x = np.array(xs, dtype=float)
+    y = np.array(ys, dtype=float)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sx = x.std()
+        sy = y.std()
+        if sx == 0 or sy == 0:
+            return float("nan")
+        return float(((x - x.mean()) * (y - y.mean())).mean() / (sx * sy))
+
+
+def _density(n_nodes: int, n_edges: int) -> float:
+    return 2.0 * n_edges / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 1.0
+
+
+def vectorize_graph(g: DocGraph,
+                    namespaces: Dict[str, str] = None) -> List[float]:
+    """24 features in reference order (tranformers.py:40-58 + 162-186)."""
+    namespaces = namespaces or MANAGED_NAMESPACES
+    nb_words = g.nb_words if g.nb_words is not None else -1
+
+    resources = {n: a for n, a in g.nodes.items() if a.get("resource") is True}
+    nb_concepts = sum(a["count"] for a in resources.values())
+    nb_unique = len(resources)
+    nb_nodes = len(g.nodes)
+    n_edges = len(g.edges)
+
+    if g.nodes:
+        eccs = _eccentricities(g)
+        radius = float(min(eccs))
+        diameter = float(max(eccs))
+        assort = _assortativity(g)
+    else:
+        radius = diameter = 0.0
+        assort = 0.0                      # tranformers.py:93-97 else-branch
+
+    density = _density(nb_nodes, n_edges)
+
+    # ratios — divergence: NaN instead of ZeroDivisionError for nb_words == 0
+    if nb_words:
+        cw_ratio = nb_concepts / nb_words
+        ucw_ratio = nb_unique / nb_words
+    else:
+        cw_ratio = ucw_ratio = float("nan")
+
+    # M7 textDensity (tranformers.py:104-131)
+    if not g.nodes:
+        td_mean = td_std = float("nan")   # divergence: scalar-0 path
+    else:
+        text_len = g.nb_words
+        if text_len is None:
+            text_len = max(a.get("offset") for a in resources.values())
+        adj = g.adjacency()
+        pairs = list(combinations(list(resources.keys()), 2))
+        if pairs:
+            d_graph = []
+            for m, n in pairs:
+                d_graph.append(_bfs_lengths(adj, m)[n])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dists_graph = np.array(d_graph, dtype=float) / diameter
+                dists_text = np.abs(np.array(
+                    [g.nodes[n]["offset"] - g.nodes[m]["offset"] for m, n in pairs],
+                    dtype=float)) / text_len
+                densities = dists_text * dists_text * np.sqrt(dists_graph)
+            td_mean = float(np.mean(densities))
+            td_std = float(np.std(densities))
+        else:
+            td_mean = td_std = float("nan")
+
+    # M8 type/link stats (tranformers.py:133-154): skip nodes missing the attr
+    stats = {"nbTypes": [], "nbLinksIn": [], "nbLinksOut": []}
+    for _n, attrs in resources.items():
+        for key, lst in stats.items():
+            if attrs.get(key) is not None:
+                lst.append(int(attrs[key]))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tl = [float(np.mean(stats["nbTypes"])) if stats["nbTypes"] else float("nan"),
+              float(np.std(stats["nbTypes"])) if stats["nbTypes"] else float("nan"),
+              float(np.mean(stats["nbLinksIn"])) if stats["nbLinksIn"] else float("nan"),
+              float(np.std(stats["nbLinksIn"])) if stats["nbLinksIn"] else float("nan"),
+              float(np.mean(stats["nbLinksOut"])) if stats["nbLinksOut"] else float("nan"),
+              float(np.std(stats["nbLinksOut"])) if stats["nbLinksOut"] else float("nan")]
+
+    feats = [float(nb_words), float(nb_concepts), float(nb_unique),
+             float(cw_ratio), float(ucw_ratio), float(nb_nodes),
+             radius, diameter, float(assort), float(density),
+             td_mean, td_std] + tl
+
+    # M9 per-namespace partials (tranformers.py:172-182)
+    for ns_uri in namespaces.values():
+        kept = {n for n, a in g.nodes.items()
+                if a.get("resource") is True or n == VIRTUAL_ROOT
+                or n.startswith(ns_uri)}
+        sub_edges = [e for e in g.edges if set(e) <= kept]
+        feats.extend([float(len(kept)), float(_density(len(kept), len(sub_edges)))])
+    return feats
+
+
+# --------------------------------------------------------------------------
+# End-to-end oracle
+# --------------------------------------------------------------------------
+
+def run_reference_pipeline(pages: List[dict],
+                           gazetteer_rows,
+                           instance_types_rows,
+                           kb_rows,
+                           ontology_edge_rows,
+                           confidence: float = 0.5):
+    """Full pipeline over plain-Python pages; returns (concepts, info, triples,
+    vectors) exactly as the reference staging would produce them."""
+    matcher = GazetteerMatcher(gazetteer_rows, confidence=confidence)
+    onto = OntologyIndex([(c, p) for c, p, _ns in ontology_edge_rows])
+
+    concepts = {p["url"]: text_to_concepts(p["text"], matcher) for p in pages}
+    uris = sorted({m["uri"] for c in concepts.values() for m in c["mentions"]})
+    info = enrich(uris, instance_types_rows, kb_rows)
+
+    triples = set()
+    vectors = {}
+    for url, c in concepts.items():
+        g = build_graph(c, info, onto)
+        triples |= graph_triples(url, g)
+        vectors[url] = vectorize_graph(g)
+    return concepts, info, triples, vectors
