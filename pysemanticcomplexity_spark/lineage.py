@@ -1,0 +1,68 @@
+"""Checkpointed, resumable writes with per-partition lineage + metrics.
+
+The reference resumes by skipping existing per-document output files
+(batchprocessing/semantic/conceptExtraction.py:81-82,
+graphCreation.py:75-76). At 10^12 documents the unit of resume is a
+partition, not a file: outputs are written partitioned by a deterministic
+url-hash ``bucket``; a ``_lineage`` parquet table records
+(run_id, stage, bucket, status, rows, wall_ms); a rerun left-anti-joins the
+input buckets against completed lineage rows and processes only the
+remainder (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["completed_buckets", "resumable_write", "read_lineage"]
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def read_lineage(spark, out_dir: str) -> DataFrame:
+    path = _lineage_path(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        from .schemas import LINEAGE
+        return spark.createDataFrame([], LINEAGE)
+
+
+def completed_buckets(spark, out_dir: str, stage: str):
+    lin = read_lineage(spark, out_dir)
+    return [r["bucket"] for r in
+            (lin.filter((F.col("stage") == stage) & (F.col("status") == "done"))
+             .select("bucket").distinct().collect())]
+
+
+def resumable_write(df: DataFrame, out_dir: str, stage: str,
+                    run_id: str = "run", resume: bool = True) -> None:
+    """Write ``df`` (must carry an int ``bucket`` column) partitioned by
+    bucket, skipping buckets already recorded as done; append lineage rows."""
+    spark = df.sparkSession
+    target = os.path.join(out_dir, stage)
+    done = set(completed_buckets(spark, out_dir, stage)) if resume else set()
+    remaining = df
+    if done:
+        remaining = df.filter(~F.col("bucket").isin(sorted(done)))
+
+    t0 = time.time()
+    (remaining.write.mode("append").partitionBy("bucket").parquet(target))
+    wall_ms = int((time.time() - t0) * 1000)
+
+    written = (spark.read.parquet(target)
+               .groupBy("bucket").agg(F.count("*").alias("rows")))
+    if done:
+        written = written.filter(~F.col("bucket").isin(sorted(done)))
+    lineage_rows = written.select(
+        F.lit(run_id).alias("run_id"), F.lit(stage).alias("stage"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.lit("done").alias("status"), F.col("rows").cast("long").alias("rows"),
+        F.lit(wall_ms).cast("long").alias("wall_ms"))
+    lineage_rows.write.mode("append").parquet(_lineage_path(out_dir))

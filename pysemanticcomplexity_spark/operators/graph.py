@@ -1,0 +1,194 @@
+"""G1-G3 + P7/P8 + A5/J1: concept-graph triple materialization.
+
+Per-document undirected concept graph (reference
+parsers/semantic/graphs/builders.py:51-121) re-expressed as two DataFrames:
+``triples(url, subj, pred, obj)`` with preds hasType / subClassOf, and
+``nodes(url, node_id, is_resource, count, offset, nb_types, nb_links_in,
+nb_links_out)``.
+
+Design notes (scale-first):
+* The ontology closure is precomputed once in the driver (ontology.py) and
+  broadcast — the per-type ancestor walk (ontologies.py:103-109) becomes a
+  single broadcast hash join instead of an iterative shuffle. An iterative
+  DataFrame-join closure is also provided (``iterative_closure``) for the
+  generic case where the taxonomy is NOT broadcastable, and doubles as the
+  oracle-checkable recursive query.
+* Canonicalization (P7, ontologies.py:52-83) is a pure JVM expression —
+  prefix/qname tests + shortest-suffix tie-break via an array-of-structs
+  sort — so it stays inside whole-stage codegen (no Python).
+* A5 last-mention-wins (builders.py:61-63: ``dict((r.uri, r))`` keeps the
+  last mention's offset) maps to ``max(offset)`` because document-level
+  offsets are strictly increasing in processing order.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import MANAGED_NAMESPACES, PRED_HAS_TYPE, PRED_SUBCLASS_OF, VIRTUAL_ROOT
+from ..ontology import OntologyIndex
+
+__all__ = ["canonicalize_expr", "closure_table", "iterative_closure",
+           "resource_concepts", "build_triples", "build_nodes"]
+
+
+def canonicalize_expr(col: F.Column,
+                      namespaces: Dict[str, str] = None) -> F.Column:
+    """P7 str_to_managed_uriref (ontologies.py:52-83) as a codegen expression.
+
+    For each managed namespace (insertion order = tie-break order) the input
+    either matches ``key:`` (qname) or the namespace URI prefix; candidates
+    are ranked by (suffix length, namespace order) and the winner is
+    reassembled as namespace + suffix. NULL when unmatched.
+    """
+    namespaces = namespaces or MANAGED_NAMESPACES
+    cands = []
+    for order, (key, ns) in enumerate(namespaces.items()):
+        qname = key + ":"
+        suffix = (
+            F.when(col.startswith(qname), F.substring(col, len(qname) + 1, 1 << 30))
+            .when(col.startswith(ns), F.substring(col, len(ns) + 1, 1 << 30))
+        )
+        cands.append(
+            F.when(suffix.isNotNull(),
+                   F.struct(F.length(suffix).alias("slen"),
+                            F.lit(order).alias("ord"),
+                            F.concat(F.lit(ns), suffix).alias("canonical")))
+        )
+    ranked = F.array_sort(F.filter(F.array(*cands), lambda c: c.isNotNull()))
+    # F.get is 0-based and ANSI-safe (null out-of-bounds, never an error)
+    return F.get(ranked, 0)["canonical"]
+
+
+def closure_table(spark: SparkSession, ontology_edge_rows) -> DataFrame:
+    """Precomputed ancestor-edge closure dimension: (cls, src, dst).
+
+    Driver-side memoized DFS over the tiny static taxonomy (G2,
+    ontologies.py:103-109 — result-identical since graph insertion is
+    idempotent); broadcast-joined downstream.
+    """
+    idx = OntologyIndex([(c, p) for c, p, *_ in ontology_edge_rows])
+    rows = idx.full_closure_table()
+    return spark.createDataFrame(rows, "cls string, src string, dst string")
+
+
+def iterative_closure(edges: DataFrame, max_iters: int = 64) -> DataFrame:
+    """G2 as an iterative frontier expansion over (child, parent) edges.
+
+    Returns (cls, anc) = transitive ancestors, virtual root included per the
+    G1 rule (parentless classes / walk ends -> #AbstractConcept#). Each round
+    is one broadcast self-join; terminates at taxonomy depth (<= ~10 for
+    DBpedia/schema/YAGO). Provided for taxonomies too large to close in the
+    driver; the pipeline default is the precomputed broadcast closure.
+    """
+    # root-extended edge set: parentless parents close to the virtual root
+    children = edges.select(F.col("child").alias("c")).distinct()
+    tops = (edges.select(F.col("parent").alias("child")).distinct()
+            .join(children, F.col("child") == F.col("c"), "left_anti")
+            .select("child", F.lit(VIRTUAL_ROOT).alias("parent")))
+    e = edges.select("child", "parent").unionByName(tops).distinct().cache()
+
+    result = e.select(F.col("child").alias("cls"), F.col("parent").alias("anc"))
+    frontier = result
+    for _ in range(max_iters):
+        step = (frontier.join(F.broadcast(e), frontier["anc"] == e["child"])
+                .select(frontier["cls"], e["parent"].alias("anc"))
+                .distinct())
+        new = step.join(result, ["cls", "anc"], "left_anti").cache()
+        if new.isEmpty():
+            break
+        result = result.unionByName(new).cache()
+        frontier = new
+    return result
+
+
+def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
+                      broadcast_info: bool = True,
+                      namespaces: Dict[str, str] = None) -> DataFrame:
+    """A5 + J1 + P8: one row per (url, uri) resource with enrichment and the
+    deduped canonical type set.
+
+    * count     = mention multiplicity (Counter, builders.py:62)
+    * offset    = last mention's offset (builders.py:63; offsets strictly
+                  increase in doc order, so max == last)
+    * nb_types  = len(enriched types) ONLY (builders.py:79 — the Spotlight
+                  types do not count here)
+    * canonical_types = dedup(canonicalize(spotlight_types ∪ enriched types))
+                  with unmanaged types dropped (builders.py:106-121)
+    """
+    info = F.broadcast(concept_info) if broadcast_info else concept_info
+    per_resource = (
+        mentions.filter(F.col("uri") != "")
+        .groupBy("url", "uri")
+        .agg(F.count("*").alias("count"),
+             F.max("offset").alias("offset"),
+             F.first("spotlight_types").alias("spotlight_types"))
+        .join(info, "uri", "left")
+    )
+    merged = F.array_union(
+        F.col("spotlight_types"),
+        F.coalesce(F.col("types"), F.array().cast("array<string>")))
+    canon = F.array_distinct(
+        F.filter(F.transform(merged, lambda t: canonicalize_expr(t, namespaces)),
+                 lambda c: c.isNotNull()))
+    return per_resource.select(
+        "url", "uri", "count", "offset",
+        F.size(F.coalesce(F.col("types"), F.array().cast("array<string>")))
+        .cast("long").alias("nb_types"),
+        F.coalesce("nb_links_in", F.lit(0)).alias("nb_links_in"),
+        F.coalesce("nb_links_out", F.lit(0)).alias("nb_links_out"),
+        canon.alias("canonical_types"),
+    )
+
+
+def build_triples(resources: DataFrame, closure: DataFrame) -> DataFrame:
+    """G3 (builders.py:69-104): hasType edges + broadcast-closure subClassOf
+    edges + typeless->root edges; one distinct per (url, subj, pred, obj)."""
+    typed = resources.select(
+        "url", "uri", F.explode("canonical_types").alias("cls"))
+
+    has_type = typed.select(
+        "url", F.col("uri").alias("subj"),
+        F.lit(PRED_HAS_TYPE).alias("pred"), F.col("cls").alias("obj"))
+
+    # ancestor walk: left join so classes unknown to the taxonomy close to
+    # the virtual root (empty objects() -> root, ontologies.py:96-101)
+    doc_classes = typed.select("url", "cls").distinct()
+    sub_class = (doc_classes.join(F.broadcast(closure),
+                                  doc_classes["cls"] == closure["cls"], "left")
+                 .select("url",
+                         F.coalesce(closure["src"], doc_classes["cls"]).alias("subj"),
+                         F.lit(PRED_SUBCLASS_OF).alias("pred"),
+                         F.coalesce(closure["dst"], F.lit(VIRTUAL_ROOT)).alias("obj")))
+
+    typeless = (resources.filter(F.size("canonical_types") == 0)
+                .select("url", F.col("uri").alias("subj"),
+                        F.lit(PRED_HAS_TYPE).alias("pred"),
+                        F.lit(VIRTUAL_ROOT).alias("obj")))
+
+    return (has_type.unionByName(sub_class).unionByName(typeless)
+            .dropDuplicates(["url", "subj", "pred", "obj"]))
+
+
+def build_nodes(resources: DataFrame, triples: DataFrame) -> DataFrame:
+    """Node table with attrs; class/root nodes carry nulls (builders.py:199-225)."""
+    rsc_nodes = resources.select(
+        "url", F.col("uri").alias("node_id"), F.lit(True).alias("is_resource"),
+        "count", "offset", "nb_types", "nb_links_in", "nb_links_out")
+    endpoint = (triples.select("url", F.col("obj").alias("node_id"))
+                .unionByName(
+                    triples.filter(F.col("pred") == PRED_SUBCLASS_OF)
+                    .select("url", F.col("subj").alias("node_id")))
+                .distinct())
+    cls_nodes = (endpoint
+                 .join(rsc_nodes.select("url", "node_id"), ["url", "node_id"],
+                       "left_anti")
+                 .select("url", "node_id", F.lit(False).alias("is_resource"),
+                         F.lit(None).cast("long").alias("count"),
+                         F.lit(None).cast("long").alias("offset"),
+                         F.lit(None).cast("long").alias("nb_types"),
+                         F.lit(None).cast("long").alias("nb_links_in"),
+                         F.lit(None).cast("long").alias("nb_links_out")))
+    return rsc_nodes.unionByName(cls_nodes)

@@ -1,0 +1,148 @@
+"""M1-M10: per-document semantic-complexity feature vectors.
+
+Per-document graphs are tiny (10^2-10^3 nodes — SURVEY.md §2.6), so the
+eccentricity/BFS metrics run inside an Arrow-batched
+``cogroup().applyInPandas`` keyed by url: one shuffle of the (small) nodes +
+triples tables, zero driver involvement, linear scale-out across documents.
+
+The numeric feature definitions are shared with the pure-Python oracle
+(ref_semantics.vectorize_graph — itself a mirror of reference
+tranformers.py:40-186); what this module adds is the distributed execution
+shape and the graph reconstruction from relational rows. The graph
+*construction* path (DataFrame ops) is fully independent of the oracle's.
+
+A pure-DataFrame fast path (``features_df_only``) computes the
+SQL-expressible feature subset (M2/M3/M6/M8/M9 — counts, density, ratios,
+type/link moments) with partial-aggregated groupBys for workloads that do
+not need the BFS metrics; it is also the DuckDB-oracle surface.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .. import FEATURE_COLUMNS, MANAGED_NAMESPACES, PRED_SUBCLASS_OF, VIRTUAL_ROOT
+from .. import schemas
+from ..ref_semantics import DocGraph, vectorize_graph
+
+__all__ = ["vectorize", "features_df_only", "pack_graph"]
+
+
+def pack_graph(nodes: DataFrame, triples: DataFrame) -> DataFrame:
+    """Union nodes + edges into one url-grouped table for cogroup (2-way API)."""
+    n = nodes.select(
+        "url", F.lit("n").alias("kind"), F.col("node_id").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        "is_resource", "count", "offset", "nb_types", "nb_links_in", "nb_links_out")
+    e = triples.select(
+        "url", F.lit("e").alias("kind"), F.col("subj").alias("a"),
+        F.col("obj").alias("b"),
+        F.lit(None).cast("boolean").alias("is_resource"),
+        F.lit(None).cast("long").alias("count"),
+        F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("long").alias("nb_types"),
+        F.lit(None).cast("long").alias("nb_links_in"),
+        F.lit(None).cast("long").alias("nb_links_out"))
+    return n.unionByName(e)
+
+
+def vectorize(nodes: DataFrame, triples: DataFrame,
+              doc_words: DataFrame) -> DataFrame:
+    """Feature table: one row per url in ``doc_words`` (zero-mention documents
+    get the empty-graph vector), columns = FEATURE_COLUMNS."""
+    packed = pack_graph(nodes, triples)
+
+    def compute(key, graph_pdf: pd.DataFrame, words_pdf: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        nb_words = int(words_pdf["nb_words"].iloc[0]) if len(words_pdf) else None
+        g = DocGraph(nb_words)
+        npdf = graph_pdf[graph_pdf["kind"] == "n"]
+        for a, is_r, cnt, off, nt, li, lo in zip(
+                npdf["a"], npdf["is_resource"], npdf["count"], npdf["offset"],
+                npdf["nb_types"], npdf["nb_links_in"], npdf["nb_links_out"]):
+            attrs = {"resource": bool(is_r)}
+            if is_r:
+                attrs["count"] = int(cnt)
+                attrs["offset"] = int(off)
+                if not pd.isna(nt):
+                    attrs["nbTypes"] = int(nt)
+                    attrs["nbLinksIn"] = int(li)
+                    attrs["nbLinksOut"] = int(lo)
+            g.add_node(a, **attrs)
+        epdf = graph_pdf[graph_pdf["kind"] == "e"]
+        for a, b in zip(epdf["a"], epdf["b"]):
+            g.add_edge(a, b)
+        feats = vectorize_graph(g)
+        return pd.DataFrame([[url] + feats], columns=FEATURE_COLUMNS)
+
+    # rename the right-side key: both inputs share lineage (same annotator
+    # output), and identical attribute ids trip the ambiguous-self-join check
+    words = (doc_words.select(F.col("url").alias("url_w"),
+                              F.col("nb_words").alias("nb_words")))
+    return (packed.groupBy("url")
+            .cogroup(words.groupBy("url_w"))
+            .applyInPandas(compute, schema=schemas.FEATURES))
+
+
+def features_df_only(nodes: DataFrame, triples: DataFrame,
+                     doc_words: DataFrame) -> DataFrame:
+    """SQL-expressible feature subset, pure DataFrame (no Python).
+
+    nbWord, nbConcepts, nbUniqueConcepts, concepts/words ratios, nbNodes,
+    density, nbTypes/nbLinkIn/nbLinkOut mean+population-std, and the
+    per-namespace node counts (M9 nbNodes_<ns>). Division follows the
+    documented NaN-on-zero-words divergence.
+    """
+    rsc = (nodes.filter("is_resource")
+           .groupBy("url")
+           .agg(F.sum("count").alias("nbConcepts"),
+                F.count("*").alias("nbUniqueConcepts"),
+                F.avg("nb_types").alias("nbTypesMean"),
+                F.stddev_pop("nb_types").alias("nbTypesStd"),
+                F.avg("nb_links_in").alias("nbLinkInMean"),
+                F.stddev_pop("nb_links_in").alias("nbLinkInStd"),
+                F.avg("nb_links_out").alias("nbLinkOutMean"),
+                F.stddev_pop("nb_links_out").alias("nbLinkOutStd")))
+    counts = nodes.groupBy("url").agg(F.count("*").alias("nbNodes"))
+    edge_counts = triples.groupBy("url").agg(F.count("*").alias("nbEdges"))
+
+    ns_counts = nodes.groupBy("url").agg(*[
+        F.sum(F.when(F.col("is_resource")
+                     | (F.col("node_id") == VIRTUAL_ROOT)
+                     | F.col("node_id").startswith(ns), 1).otherwise(0))
+        .alias(f"nbNodes_{key}")
+        for key, ns in MANAGED_NAMESPACES.items()])
+
+    out = (doc_words
+           .join(rsc, "url", "left").join(counts, "url", "left")
+           .join(edge_counts, "url", "left").join(ns_counts, "url", "left"))
+    nb_words = F.col("nb_words").cast("double")
+    zero = F.lit(0.0)
+    nan = F.lit(float("nan"))
+    n = F.coalesce(F.col("nbNodes"), F.lit(0)).cast("double")
+    e = F.coalesce(F.col("nbEdges"), F.lit(0)).cast("double")
+    return out.select(
+        F.col("url").alias("filename"),
+        nb_words.alias("nbWord"),
+        F.coalesce(F.col("nbConcepts"), F.lit(0)).cast("double").alias("nbConcepts"),
+        F.coalesce(F.col("nbUniqueConcepts"), F.lit(0)).cast("double")
+        .alias("nbUniqueConcepts"),
+        F.when(nb_words != 0,
+               F.coalesce(F.col("nbConcepts"), F.lit(0)) / nb_words)
+        .otherwise(nan).alias("conceptsWordsRatio"),
+        F.when(nb_words != 0,
+               F.coalesce(F.col("nbUniqueConcepts"), F.lit(0)) / nb_words)
+        .otherwise(nan).alias("uniqueConceptsWordsRatio"),
+        n.alias("nbNodes"),
+        F.when(n > 1, F.lit(2.0) * e / (n * (n - F.lit(1.0))))
+        .otherwise(F.lit(1.0)).alias("density"),
+        F.col("nbTypesMean").cast("double").alias("nbTypesMean"),
+        F.col("nbTypesStd").cast("double").alias("nbTypesStd"),
+        F.col("nbLinkInMean").cast("double").alias("nbLinkInMean"),
+        F.col("nbLinkInStd").cast("double").alias("nbLinkInStd"),
+        F.col("nbLinkOutMean").cast("double").alias("nbLinkOutMean"),
+        F.col("nbLinkOutStd").cast("double").alias("nbLinkOutStd"),
+        *[F.coalesce(F.col(f"nbNodes_{key}"), zero).cast("double")
+          .alias(f"nbNodes_{key}") for key in MANAGED_NAMESPACES],
+    )

@@ -1,0 +1,100 @@
+"""End-to-end KG-construction pipeline (reference texts2vectors lifecycle,
+SURVEY.md §3.1, re-expressed as one lazy Spark plan).
+
+    pages ──mapInPandas(annotate: P1-P6+S7)──> mentions + doc_words
+      mentions ──A5/J1/P7/P8──> resources ──G1-G3──> triples, nodes
+      distinct uris ──A1-A4 joins──> concept_info (broadcast)
+      nodes+triples+doc_words ──cogroup applyInPandas──> features (M1-M10)
+
+Two materialization points (triples, features) like the reference's staged
+JSON layout (§3.2), here parquet tables partitioned by a url hash bucket so
+downstream stages and the resume layer (lineage.py) prune by partition.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import annotate, disambiguate, enrich, graph, vectorize
+
+__all__ = ["KGPipeline", "PipelineResult"]
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    doc_words: DataFrame
+    concept_info: DataFrame
+    resources: DataFrame
+    triples: DataFrame
+    nodes: DataFrame
+    features: DataFrame
+
+
+class KGPipeline:
+    def __init__(self, spark: SparkSession, gazetteer_rows, ontology_edge_rows,
+                 instance_types_df: DataFrame, kb_triples_df: DataFrame,
+                 confidence: float = 0.5,
+                 disambiguation: str = "local",
+                 broadcast_concept_info: bool = True):
+        """disambiguation: 'local' (inside the annotator, shuffle-free),
+        'agg' (groupBy+max_by), or 'apply' (groupBy.applyInPandas,
+        north_star shape)."""
+        self.spark = spark
+        self.gazetteer_rows = list(gazetteer_rows)
+        self.ontology_edge_rows = list(ontology_edge_rows)
+        self.instance_types_df = instance_types_df
+        self.kb_triples_df = kb_triples_df
+        self.confidence = confidence
+        self.disambiguation = disambiguation
+        self.broadcast_concept_info = broadcast_concept_info
+        self.closure = graph.closure_table(spark, self.ontology_edge_rows)
+
+    def run(self, pages: DataFrame) -> PipelineResult:
+        if self.disambiguation == "local":
+            annotated = annotate.annotate_pages(
+                self.spark, pages, self.gazetteer_rows, self.confidence, emit="best")
+        else:
+            cands = annotate.annotate_pages(
+                self.spark, pages, self.gazetteer_rows, self.confidence,
+                emit="candidates")
+            fn = (disambiguate.disambiguate_agg if self.disambiguation == "agg"
+                  else disambiguate.disambiguate_apply)
+            annotated = fn(cands, self.confidence)
+        mentions, doc_words = annotate.split_mentions(annotated)
+
+        uris = enrich.distinct_uris(mentions)
+        info = enrich.concept_info(uris, self.instance_types_df, self.kb_triples_df)
+
+        resources = graph.resource_concepts(
+            mentions, info, broadcast_info=self.broadcast_concept_info)
+        triples = graph.build_triples(resources, self.closure)
+        nodes = graph.build_nodes(resources, triples)
+        features = vectorize.vectorize(nodes, triples, doc_words)
+        return PipelineResult(mentions=mentions, doc_words=doc_words,
+                              concept_info=info, resources=resources,
+                              triples=triples, nodes=nodes, features=features)
+
+    def run_and_write(self, pages: DataFrame, out_dir: str,
+                      n_buckets: int = 64,
+                      run_id: str = "run",
+                      resume: bool = True) -> PipelineResult:
+        """Materialize triples + features with per-bucket lineage and
+        checkpointed resume (lineage.py; north_rule requirement)."""
+        from .lineage import resumable_write
+
+        pages_b = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+        result = self.run(pages_b.drop("bucket"))
+
+        bucket = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        resumable_write(result.triples.withColumn("bucket", bucket),
+                        out_dir, "triples", run_id=run_id, resume=resume)
+        resumable_write(result.features.withColumn(
+                            "bucket",
+                            F.pmod(F.xxhash64("filename"), F.lit(n_buckets)).cast("int")),
+                        out_dir, "features", run_id=run_id, resume=resume)
+        return result

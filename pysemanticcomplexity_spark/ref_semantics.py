@@ -134,6 +134,7 @@ class DocGraph:
         self.nb_words = nb_words
         self.nodes: Dict[str, dict] = {}
         self.edges: set = set()          # frozenset pairs
+        self.directed: Dict[frozenset, Tuple[str, str]] = {}  # first-insert orientation
 
     def add_node(self, node: str, **attrs):
         self.nodes.setdefault(node, {}).update(attrs)
@@ -141,10 +142,9 @@ class DocGraph:
     def add_edge(self, a: str, b: str):
         self.nodes.setdefault(a, {})
         self.nodes.setdefault(b, {})
-        if a != b:
-            self.edges.add(frozenset((a, b)))
-        else:
-            self.edges.add(frozenset((a,)))
+        key = frozenset((a, b)) if a != b else frozenset((a,))
+        self.edges.add(key)
+        self.directed.setdefault(key, (a, b))
 
     def degree(self) -> Dict[str, int]:
         deg = {n: 0 for n in self.nodes}
@@ -217,16 +217,10 @@ def graph_triples(url: str, g: DocGraph) -> set:
     triples = set()
     resources = {n for n, a in g.nodes.items() if a.get("resource") is True}
     for e in g.edges:
-        pair = sorted(e)
-        if len(pair) == 1:
-            a = b = pair[0]
-        else:
-            a, b = pair
-        if a in resources and b not in resources:
+        a, b = g.directed[e]             # first-insert orientation:
+        if a in resources:               # resource->type / resource->root,
             triples.add((url, a, "hasType", b))
-        elif b in resources and a not in resources:
-            triples.add((url, b, "hasType", a))
-        else:
+        else:                            # class->parent
             triples.add((url, a, "subClassOf", b))
     return triples
 
