@@ -88,18 +88,24 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64) -> DataFrame:
     tops = (edges.select(F.col("parent").alias("child")).distinct()
             .join(children, F.col("child") == F.col("c"), "left_anti")
             .select("child", F.lit(VIRTUAL_ROOT).alias("parent")))
-    e = edges.select("child", "parent").unionByName(tops).distinct().cache()
+    # localCheckpoint truncates lineage each round — without it the logical
+    # plan doubles per iteration (anti-join references the running union) and
+    # Catalyst analysis time grows exponentially.
+    e = (edges.select("child", "parent").unionByName(tops).distinct()
+         .localCheckpoint())
+    # fresh attribute ids for the join side (self-join disambiguation)
+    e_j = e.select(F.col("child").alias("j_child"), F.col("parent").alias("j_parent"))
 
     result = e.select(F.col("child").alias("cls"), F.col("parent").alias("anc"))
     frontier = result
     for _ in range(max_iters):
-        step = (frontier.join(F.broadcast(e), frontier["anc"] == e["child"])
-                .select(frontier["cls"], e["parent"].alias("anc"))
+        step = (frontier.join(F.broadcast(e_j), frontier["anc"] == e_j["j_child"])
+                .select(frontier["cls"], F.col("j_parent").alias("anc"))
                 .distinct())
-        new = step.join(result, ["cls", "anc"], "left_anti").cache()
+        new = step.join(result, ["cls", "anc"], "left_anti").localCheckpoint()
         if new.isEmpty():
             break
-        result = result.unionByName(new).cache()
+        result = result.unionByName(new).localCheckpoint()
         frontier = new
     return result
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
@@ -70,7 +71,7 @@ def paragraphs_with_offsets(pages: DataFrame, text_col: str = "text") -> DataFra
         "offset_base", F.coalesce(F.sum(F.length("para")).over(w), F.lit(0)))
 
 
-@pandas_udf("long")
+@pandas_udf(T.LongType())
 def count_words_udf(texts: pd.Series) -> pd.Series:
     """P5: Treebank token count (text.py:59-63), Arrow-batched."""
     from pysemanticcomplexity_spark.treebank import count_words

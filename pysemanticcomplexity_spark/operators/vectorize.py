@@ -119,7 +119,9 @@ def features_df_only(nodes: DataFrame, triples: DataFrame,
            .join(edge_counts, "url", "left").join(ns_counts, "url", "left"))
     nb_words = F.col("nb_words").cast("double")
     zero = F.lit(0.0)
-    nan = F.lit(float("nan"))
+    # undefined features are NULL (not NaN): Arrow ships pandas NaN as null,
+    # so NULL is the engine-wide canonical "undefined" in output tables
+    nan = F.lit(None).cast("double")
     n = F.coalesce(F.col("nbNodes"), F.lit(0)).cast("double")
     e = F.coalesce(F.col("nbEdges"), F.lit(0)).cast("double")
     return out.select(
