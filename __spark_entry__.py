@@ -1,38 +1,801 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Conventions shared by every (queries, oracle_sql) pair:
+* aggregates that feed doubles are computed from INTEGER sums (or per-row
+  scalar expressions with the same shape) on both sides — cross-engine
+  double summation order is not reproducible, integer sums are;
+* every computed column is cast + aliased identically on both sides;
+* undefined numeric results are NULL, never NaN;
+* the deterministic dimension tables (gazetteer / ontology / instance
+  types / KB triples from pysemanticcomplexity_spark.fixtures) are inlined
+  into the oracle SQL as VALUES CTEs, because the DuckDB side only
+  pre-registers the testdata views;
+* the "SQL mention model" used by KG oracle queries detects mentions of the
+  *unambiguous* gazetteer surfaces with word-boundary regex counting —
+  deliberately SQL-expressible in both engines. The production annotator
+  (longest-match, offsets, scoring, disambiguation, confidence filter) is
+  NOT SQL-expressible; it is verified in tests/ against the pure-Python
+  reference-semantics oracle, and its end-to-end outputs appear here as
+  rows-only entries (KG_pipeline_*).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from pysemanticcomplexity_spark import VIRTUAL_ROOT, fixtures
+from pysemanticcomplexity_spark.fixtures import values_cte
+
+# ---------------------------------------------------------------------------
+# shared fixture SQL fragments
+# ---------------------------------------------------------------------------
+
+_GAZ_UNAMBIGUOUS = sorted({(s, u) for s, u, _sup, prior, _t in fixtures.gazetteer()
+                           if prior == 1.0})
+_ONTO = [(c, p) for c, p, _ns in fixtures.ontology_edges()]
+_ITYPES = fixtures.instance_types()
+_KB = fixtures.kb_triples(400)
+
+GAZ_CTE = values_cte("gaz", ["surface", "uri"], _GAZ_UNAMBIGUOUS)
+ONTO_CTE = values_cte("onto", ["child", "parent"], _ONTO)
+ITYPES_CTE = values_cte("itypes", ["uri", "type_uri"], _ITYPES)
+KB_CTE = values_cte("kb", ["subj", "pred", "obj"], _KB)
+
+ROOT = VIRTUAL_ROOT
+NS_PREFIXES = ["http://dbpedia.org/ontology/", "http://schema.org/",
+               "http://dbpedia.org/class/yago/"]
+
+CLEAN_PATTERN = r"[\x00-\x09\x0b-\x1f\x80-\x9e]"
+TOKEN_RE = "[a-z0-9]+"
+
+# mention model (SQL): doc_id, uri, occurrences>0 over unambiguous surfaces
+MENTIONS_SQL = f"""
+{GAZ_CTE},
+m0 AS (
+  SELECT d.doc_id, g.uri,
+         CAST(len(regexp_extract_all(lower(d.text), '\\b' || g.surface || '\\b'))
+              AS BIGINT) AS occurrences
+  FROM documents d CROSS JOIN gaz g
+),
+mentions AS (SELECT * FROM m0 WHERE occurrences > 0)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _gaz_df(spark) -> DataFrame:
+    return spark.createDataFrame(_GAZ_UNAMBIGUOUS, "surface string, uri string")
+
+
+def _mentions_df(spark, sf_dir) -> DataFrame:
+    """Spark side of the SQL mention model.
+
+    One literal regexp per gazetteer surface (foldable -> the pattern is
+    compiled once per task, not per row, and the whole expression stays in
+    one codegen stage) — stacked into an array of structs and exploded.
+    """
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    entries = [
+        F.struct(F.lit(uri).alias("uri"),
+                 F.regexp_count(lower, F.lit(rf"\b{surface}\b"))
+                 .cast("long").alias("occurrences"))
+        for surface, uri in _GAZ_UNAMBIGUOUS
+    ]
+    return (d.select("doc_id", F.explode(F.array(*entries)).alias("m"))
+            .select("doc_id", "m.uri", "m.occurrences")
+            .filter(F.col("occurrences") > 0))
+
+
+def _paragraphs_df(spark, sf_dir) -> DataFrame:
+    """Synthesized paragraphs: ' slow ' acts as a paragraph separator so the
+    single-paragraph testdata exercises split/filter/offset semantics."""
+    d = _docs(spark, sf_dir)
+    txt = F.regexp_replace(F.col("text"), " slow ", "\n\n")
+    return (d.select("doc_id", F.posexplode(F.split(txt, "\n\n"))
+                     .alias("para_idx", "para"))
+            .filter(F.length("para") > 150)
+            .select("doc_id", F.col("para_idx").cast("long").alias("para_idx"),
+                    "para"))
+
+
+PARAGRAPHS_SQL = """
+s AS (SELECT doc_id,
+             str_split(replace(text, ' slow ', chr(10)||chr(10)),
+                       chr(10)||chr(10)) AS parts
+      FROM documents),
+paras AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx, parts[i] AS para
+  FROM s, UNNEST(generate_series(1, len(parts))) AS t(i)
+  WHERE length(parts[i]) > 150
+)
+"""
+
+# closure-edge recursive CTE: (cls, src, dst) for every taxonomy class,
+# root-extended (G1/G2 semantics; see pysemanticcomplexity_spark/ontology.py)
+CLOSURE_EDGES_SQL = f"""
+e AS (
+  SELECT child, parent FROM onto
+  UNION
+  SELECT DISTINCT parent AS child, '{ROOT}' AS parent FROM onto
+  WHERE parent NOT IN (SELECT child FROM onto)
+),
+ce(cls, src, dst) AS (
+  SELECT child, child, parent FROM e
+  UNION
+  SELECT ce.cls, e.child, e.parent FROM ce JOIN e ON ce.dst = e.child
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline over sf0.001 pages; returns
+    the (url, subj, pred, obj) triples table."""
+    from pysemanticcomplexity_spark.pipeline import KGPipeline
+    from pysemanticcomplexity_spark.sources.pages import pages_from_documents
 
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf_dir)
+    dims = fixtures.spark_dims(spark)
+    pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"])
+    return pipe.run(pages).triples
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- P: preprocessing -------------------------------------------------
+    def p1_clean(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        dirty = F.concat(F.col("text"), F.expr("char(7)"), F.lit("end"))
+        return d.select("doc_id",
+                        F.regexp_replace(dirty, CLEAN_PATTERN, " ")
+                        .alias("text_clean"))
+    q["P1_clean_text"] = p1_clean
 
+    q["P2_P3_paragraphs"] = lambda spark, sf_dir: _paragraphs_df(spark, sf_dir)
+
+    def p5_tokens(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+            .cast("long").alias("n_tokens"))
+    q["P5_token_count"] = p5_tokens
+
+    def p6_offsets(spark, sf_dir):
+        paras = _paragraphs_df(spark, sf_dir)
+        w = (Window.partitionBy("doc_id").orderBy("para_idx")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return paras.select(
+            "doc_id", "para_idx",
+            F.coalesce(F.sum(F.length("para")).over(w), F.lit(0))
+            .cast("long").alias("offset_base"))
+    q["P6_offset_window"] = p6_offsets
+
+    # ---- S7/A: mention model + enrichment ---------------------------------
+    q["S7_mentions_sql"] = _mentions_df
+
+    q["A1_distinct_uris"] = (
+        lambda spark, sf_dir: _mentions_df(spark, sf_dir).select("uri").distinct())
+
+    def a2_type_counts(spark, sf_dir):
+        uris = _mentions_df(spark, sf_dir).select("uri").distinct()
+        it = spark.createDataFrame(_ITYPES, "uri string, type_uri string")
+        return (uris.join(F.broadcast(it), "uri", "left")
+                .groupBy("uri")
+                .agg(F.count("type_uri").cast("long").alias("n_types")))
+    q["A2_type_counts"] = a2_type_counts
+
+    def a3_links(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.enrich import link_counts
+        uris = _mentions_df(spark, sf_dir).select("uri").distinct()
+        kb = spark.createDataFrame(_KB, "subj string, pred string, obj string")
+        lc = link_counts(kb)
+        return (uris.join(F.broadcast(lc), "uri", "left")
+                .select("uri",
+                        F.coalesce("nb_links_in", F.lit(0)).cast("long")
+                        .alias("nb_links_in"),
+                        F.coalesce("nb_links_out", F.lit(0)).cast("long")
+                        .alias("nb_links_out")))
+    q["A3_link_counts"] = a3_links
+
+    def a4_info(spark, sf_dir):
+        return (a2_type_counts(spark, sf_dir)
+                .join(a3_links(spark, sf_dir), "uri")
+                .select("uri", "n_types", "nb_links_in", "nb_links_out"))
+    q["A4_concept_info"] = a4_info
+
+    def a5_last_event(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        return (e.groupBy("user_id", "event_type")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.max_by("value", "event_id").alias("last_value")))
+    q["A5_last_wins_events"] = a5_last_event
+
+    # ---- G: taxonomy ------------------------------------------------------
+    def g1_parents(spark, sf_dir):
+        onto = spark.createDataFrame(_ONTO, "child string, parent string")
+        children = onto.select(F.col("child").alias("c")).distinct()
+        tops = (onto.select(F.col("parent").alias("child")).distinct()
+                .join(children, F.col("child") == F.col("c"), "left_anti")
+                .select("child", F.lit(ROOT).alias("parent")))
+        return onto.unionByName(tops).distinct()
+    q["G1_parents"] = g1_parents
+
+    def g2_closure(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.graph import iterative_closure
+        onto = spark.createDataFrame(_ONTO, "child string, parent string")
+        return iterative_closure(onto).select("cls", "anc").distinct()
+    q["G2_closure"] = g2_closure
+
+    def g3_triples(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.graph import (
+            build_triples, canonicalize_expr, closure_table)
+        m = _mentions_df(spark, sf_dir)
+        it = spark.createDataFrame(_ITYPES, "uri string, type_uri string")
+        canon = (it.select("uri", canonicalize_expr(F.col("type_uri")).alias("cls"))
+                 .filter(F.col("cls").isNotNull())
+                 .groupBy("uri").agg(F.collect_set("cls").alias("canonical_types")))
+        resources = (m.select(F.col("doc_id").cast("string").alias("url"), "uri")
+                     .join(F.broadcast(canon), "uri", "left")
+                     .select("url", "uri",
+                             F.coalesce("canonical_types",
+                                        F.array().cast("array<string>"))
+                             .alias("canonical_types")))
+        closure = closure_table(spark, fixtures.ontology_edges())
+        return build_triples(resources, closure)
+    q["G3_triples_sql_model"] = g3_triples
+
+    def m_density(spark, sf_dir):
+        t = g3_triples(spark, sf_dir)
+        nodes = (t.select("url", F.col("subj").alias("node"))
+                 .unionByName(t.select("url", F.col("obj").alias("node")))
+                 .distinct().groupBy("url")
+                 .agg(F.count("*").cast("long").alias("n_nodes")))
+        edges = t.groupBy("url").agg(F.count("*").cast("long").alias("n_edges"))
+        n = F.col("n_nodes").cast("double")
+        e = F.col("n_edges").cast("double")
+        density = F.when(F.col("n_nodes") > 1,
+                         F.lit(2.0) * e / (n * (n - F.lit(1.0)))) \
+            .otherwise(F.lit(1.0))
+        return (nodes.join(edges, "url")
+                .select("url", "n_nodes", "n_edges",
+                        density.cast("double").alias("density")))
+    q["M_graph_density"] = m_density
+
+    def kg_types_per_doc(spark, sf_dir):
+        t = g3_triples(spark, sf_dir)
+        return (t.filter((F.col("pred") == "hasType") & (F.col("obj") != ROOT))
+                .groupBy("url")
+                .agg(F.countDistinct("obj").cast("long").alias("n_classes")))
+    q["KG_types_per_doc"] = kg_types_per_doc
+
+    # ---- relational coverage ----------------------------------------------
+    def q1_lineitem(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+        rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 10000).cast("long")
+        return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(qty_c).cast("long").alias("sum_qty_cents"),
+                     F.sum(rev_c).cast("long").alias("sum_rev_e4"),
+                     F.count("*").cast("long").alias("n_rows")))
+    q["Q1_lineitem_agg"] = q1_lineitem
+
+    def j1_nation_rev(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+        return (o.join(c, o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count("*").cast("long").alias("n_orders"),
+                     F.sum(price_c).cast("long").alias("total_price_cents")))
+    q["J1_join_nation_revenue"] = j1_nation_rev
+
+    def semi_anti(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F.col("o_totalprice") > 250000))
+        return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                .select(F.col("c_custkey").alias("custkey")))
+    q["J2_customers_without_big_orders"] = semi_anti
+
+    def w1_running(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        val_c = F.round(F.col("value") * 100).cast("long")
+        w = (Window.partitionBy("user_id").orderBy("event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return e.select(
+            "user_id", "event_id",
+            F.sum(val_c).over(w).cast("long").alias("running_value_cents"),
+            F.count("*").over(w).cast("long").alias("running_n"))
+    q["W1_running_sum"] = w1_running
+
+    def w2_sessionize(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        prev = F.lag("ts").over(w)
+        brk = F.when(prev.isNull()
+                     | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+                     1).otherwise(0)
+        return (e.select("user_id", brk.alias("brk"))
+                .groupBy("user_id")
+                .agg(F.sum("brk").cast("long").alias("n_sessions")))
+    q["W2_sessionize"] = w2_sessionize
+
+    # ---- dedup / similarity / text ----------------------------------------
+    def d1_exact(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+        return (d.groupBy(norm.alias("text_norm"))
+                .agg(F.min("doc_id").cast("long").alias("keep_id"),
+                     F.count("*").cast("long").alias("n_dups"))
+                .select("keep_id", "n_dups"))
+    q["D1_exact_dedup"] = d1_exact
+
+    def d2_jaccard(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+        base = d.select("doc_id", toks.alias("t"))
+        idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)) \
+            .otherwise(F.array().cast("array<int>"))
+        sh = (base.select("doc_id", F.explode(
+                F.array_distinct(F.transform(
+                    idx, lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1),
+                        F.element_at("t", i + 2))))).alias("shingle")))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+        inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+        return (inter.join(sa, "id_a").join(sb, "id_b")
+                .select("id_a", "id_b",
+                        (F.col("inter")
+                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                        .cast("double").alias("jaccard"))
+                .filter(F.col("jaccard") >= 0.3))
+    q["D2_ngram_jaccard"] = d2_jaccard
+
+    def s1_topk(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.similarity import cosine_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+        return out.select("query_id", "neighbor_id",
+                          F.col("rank").cast("long").alias("rank"))
+    q["S1_cosine_topk"] = s1_topk
+
+    def t1_lang(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import language_id
+        return language_id(_docs(spark, sf_dir)).select(
+            "id", F.round("en_ratio", 9).alias("en_ratio"),
+            F.round("fr_ratio", 9).alias("fr_ratio"), "lang_pred")
+    q["T1_language_id"] = t1_lang
+
+    def t2_quality(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import quality_score
+        s = quality_score(_docs(spark, sf_dir))
+        return s.select("id", "n_chars", "n_tokens",
+                        F.round("punct_ratio", 9).alias("punct_ratio"),
+                        F.round("stop_ratio", 9).alias("stop_ratio"),
+                        F.round("score", 9).alias("score"))
+    q["T2_quality_score"] = t2_quality
+
+    def t3_fp(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import fingerprint
+        return fingerprint(_docs(spark, sf_dir))
+    q["T3_fingerprint"] = t3_fp
+
+    def mm1_meta(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
+            .alias("n_bytes"),
+            F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_byte"))
+    q["MM1_binary_meta"] = mm1_meta
+
+    # ---- rows-only entries (non-SQL-expressible; weaker driver check) -----
+    def kg_triples_full(spark, sf_dir):
+        from pysemanticcomplexity_spark.pipeline import KGPipeline
+        from pysemanticcomplexity_spark.sources.pages import pages_from_documents
+        pages = pages_from_documents(spark, sf_dir)
+        dims = fixtures.spark_dims(spark)
+        pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                          dims["instance_types"], dims["kb_triples"])
+        return pipe.run(pages).triples
+    q["KG_pipeline_triples"] = kg_triples_full
+
+    def kg_features_full(spark, sf_dir):
+        from pysemanticcomplexity_spark.pipeline import KGPipeline
+        from pysemanticcomplexity_spark.sources.pages import pages_from_documents
+        pages = pages_from_documents(spark, sf_dir)
+        dims = fixtures.spark_dims(spark)
+        pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                          dims["instance_types"], dims["kb_triples"])
+        return pipe.run(pages).features
+    q["KG_pipeline_features"] = kg_features_full
+
+    def d3_minhash(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators import dedup
+        d = _docs(spark, sf_dir)
+        sh = dedup.shingles(d)
+        sigs = dedup.minhash_signatures(sh, num_hashes=32)
+        return dedup.lsh_candidate_pairs(sigs, bands=8)
+    q["D3_minhash_lsh"] = d3_minhash
+
+    def d4_simhash(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators import dedup
+        fps = dedup.simhash(_docs(spark, sf_dir))
+        return dedup.simhash_candidate_pairs(fps, max_hamming=3)
+    q["D4_simhash"] = d4_simhash
+
+    def s2_lsh(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.similarity import lsh_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    q["S2_lsh_topk"] = s2_lsh
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ns_ok = " OR ".join(f"starts_with(type_uri, '{p}')" for p in NS_PREFIXES)
+    o: dict[str, str] = {}
+
+    o["P1_clean_text"] = r"""
+SELECT doc_id,
+       regexp_replace(text || chr(7) || 'end',
+                      '[\x00-\x09\x0b-\x1f\x80-\x9e]', ' ', 'g') AS text_clean
+FROM documents
+"""
+
+    o["P2_P3_paragraphs"] = f"WITH {PARAGRAPHS_SQL} SELECT doc_id, para_idx, para FROM paras"
+
+    o["P5_token_count"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+    o["P6_offset_window"] = f"""
+WITH {PARAGRAPHS_SQL}
+SELECT doc_id, para_idx,
+       CAST(COALESCE(SUM(length(para)) OVER (
+            PARTITION BY doc_id ORDER BY para_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       AS offset_base
+FROM paras
+"""
+
+    o["S7_mentions_sql"] = f"WITH {MENTIONS_SQL} SELECT doc_id, uri, occurrences FROM mentions"
+
+    o["A1_distinct_uris"] = f"WITH {MENTIONS_SQL} SELECT DISTINCT uri FROM mentions"
+
+    o["A2_type_counts"] = f"""
+WITH {MENTIONS_SQL}, {ITYPES_CTE},
+u AS (SELECT DISTINCT uri FROM mentions)
+SELECT u.uri, CAST(count(t.type_uri) AS BIGINT) AS n_types
+FROM u LEFT JOIN itypes t ON u.uri = t.uri
+GROUP BY u.uri
+"""
+
+    o["A3_link_counts"] = f"""
+WITH {MENTIONS_SQL}, {KB_CTE},
+u AS (SELECT DISTINCT uri FROM mentions),
+inl AS (SELECT obj AS uri, CAST(count(*) AS BIGINT) AS nb_links_in FROM kb GROUP BY obj),
+outl AS (SELECT subj AS uri, CAST(count(*) AS BIGINT) AS nb_links_out FROM kb GROUP BY subj)
+SELECT u.uri,
+       CAST(COALESCE(inl.nb_links_in, 0) AS BIGINT) AS nb_links_in,
+       CAST(COALESCE(outl.nb_links_out, 0) AS BIGINT) AS nb_links_out
+FROM u LEFT JOIN inl ON u.uri = inl.uri LEFT JOIN outl ON u.uri = outl.uri
+"""
+
+    o["A4_concept_info"] = f"""
+WITH {MENTIONS_SQL}, {ITYPES_CTE}, {KB_CTE},
+u AS (SELECT DISTINCT uri FROM mentions),
+tc AS (SELECT u.uri, CAST(count(t.type_uri) AS BIGINT) AS n_types
+       FROM u LEFT JOIN itypes t ON u.uri = t.uri GROUP BY u.uri),
+inl AS (SELECT obj AS uri, CAST(count(*) AS BIGINT) AS nb_links_in FROM kb GROUP BY obj),
+outl AS (SELECT subj AS uri, CAST(count(*) AS BIGINT) AS nb_links_out FROM kb GROUP BY subj)
+SELECT u.uri, tc.n_types,
+       CAST(COALESCE(inl.nb_links_in, 0) AS BIGINT) AS nb_links_in,
+       CAST(COALESCE(outl.nb_links_out, 0) AS BIGINT) AS nb_links_out
+FROM u JOIN tc ON u.uri = tc.uri
+LEFT JOIN inl ON u.uri = inl.uri LEFT JOIN outl ON u.uri = outl.uri
+"""
+
+    o["A5_last_wins_events"] = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       arg_max(value, event_id) AS last_value
+FROM events GROUP BY user_id, event_type
+"""
+
+    o["G1_parents"] = f"""
+WITH {ONTO_CTE}
+SELECT child, parent FROM onto
+UNION
+SELECT DISTINCT parent AS child, '{ROOT}' AS parent FROM onto
+WHERE parent NOT IN (SELECT child FROM onto)
+"""
+
+    o["G2_closure"] = f"""
+WITH RECURSIVE {ONTO_CTE},
+e AS (
+  SELECT child, parent FROM onto
+  UNION
+  SELECT DISTINCT parent AS child, '{ROOT}' AS parent FROM onto
+  WHERE parent NOT IN (SELECT child FROM onto)
+),
+anc(cls, anc) AS (
+  SELECT child, parent FROM e
+  UNION
+  SELECT a.cls, e.parent FROM anc a JOIN e ON a.anc = e.child
+)
+SELECT cls, anc FROM anc
+"""
+
+    o["G3_triples_sql_model"] = f"""
+WITH RECURSIVE {MENTIONS_SQL}, {ITYPES_CTE}, {ONTO_CTE},
+{CLOSURE_EDGES_SQL},
+canon AS (SELECT uri, type_uri FROM itypes WHERE {ns_ok}),
+m AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url, uri FROM mentions),
+has_type AS (
+  SELECT DISTINCT m.url, m.uri AS subj, 'hasType' AS pred, c.type_uri AS obj
+  FROM m JOIN canon c ON m.uri = c.uri),
+typeless AS (
+  SELECT m.url, m.uri AS subj, 'hasType' AS pred, '{ROOT}' AS obj
+  FROM m LEFT JOIN canon c ON m.uri = c.uri WHERE c.type_uri IS NULL),
+doc_cls AS (SELECT DISTINCT m.url, c.type_uri AS cls
+            FROM m JOIN canon c ON m.uri = c.uri),
+sub_cls AS (
+  SELECT DISTINCT dc.url,
+         COALESCE(ce.src, dc.cls) AS subj, 'subClassOf' AS pred,
+         COALESCE(ce.dst, '{ROOT}') AS obj
+  FROM doc_cls dc LEFT JOIN ce ON dc.cls = ce.cls)
+SELECT DISTINCT url, subj, pred, obj FROM (
+  SELECT * FROM has_type UNION ALL SELECT * FROM typeless
+  UNION ALL SELECT * FROM sub_cls)
+"""
+
+    o["M_graph_density"] = f"""
+WITH RECURSIVE {MENTIONS_SQL}, {ITYPES_CTE}, {ONTO_CTE},
+{CLOSURE_EDGES_SQL},
+canon AS (SELECT uri, type_uri FROM itypes WHERE {ns_ok}),
+m AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url, uri FROM mentions),
+has_type AS (
+  SELECT DISTINCT m.url, m.uri AS subj, 'hasType' AS pred, c.type_uri AS obj
+  FROM m JOIN canon c ON m.uri = c.uri),
+typeless AS (
+  SELECT m.url, m.uri AS subj, 'hasType' AS pred, '{ROOT}' AS obj
+  FROM m LEFT JOIN canon c ON m.uri = c.uri WHERE c.type_uri IS NULL),
+doc_cls AS (SELECT DISTINCT m.url, c.type_uri AS cls
+            FROM m JOIN canon c ON m.uri = c.uri),
+sub_cls AS (
+  SELECT DISTINCT dc.url,
+         COALESCE(ce.src, dc.cls) AS subj, 'subClassOf' AS pred,
+         COALESCE(ce.dst, '{ROOT}') AS obj
+  FROM doc_cls dc LEFT JOIN ce ON dc.cls = ce.cls),
+triples AS (
+  SELECT DISTINCT url, subj, pred, obj FROM (
+    SELECT * FROM has_type UNION ALL SELECT * FROM typeless
+    UNION ALL SELECT * FROM sub_cls)),
+nodes AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+    SELECT DISTINCT url, subj AS node FROM triples
+    UNION SELECT DISTINCT url, obj AS node FROM triples) GROUP BY url),
+edges AS (SELECT url, CAST(count(*) AS BIGINT) AS n_edges FROM triples GROUP BY url)
+SELECT n.url, n.n_nodes, e.n_edges,
+       CAST(CASE WHEN n.n_nodes > 1
+                 THEN 2.0 * CAST(e.n_edges AS DOUBLE)
+                      / (CAST(n.n_nodes AS DOUBLE) * (CAST(n.n_nodes AS DOUBLE) - 1.0))
+                 ELSE 1.0 END AS DOUBLE) AS density
+FROM nodes n JOIN edges e ON n.url = e.url
+"""
+
+    o["KG_types_per_doc"] = f"""
+WITH {MENTIONS_SQL}, {ITYPES_CTE},
+canon AS (SELECT uri, type_uri FROM itypes WHERE {ns_ok}),
+m AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url, uri FROM mentions)
+SELECT m.url, CAST(count(DISTINCT c.type_uri) AS BIGINT) AS n_classes
+FROM m JOIN canon c ON m.uri = c.uri
+GROUP BY m.url
+"""
+
+    o["Q1_lineitem_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS sum_rev_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["J1_join_nation_revenue"] = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       AS total_price_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+"""
+
+    o["J2_customers_without_big_orders"] = """
+SELECT c_custkey AS custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+"""
+
+    o["W1_running_sum"] = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS running_value_cents,
+       CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS running_n
+FROM events
+"""
+
+    o["W2_sessionize"] = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL
+                   OR (CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM l)
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM s GROUP BY user_id
+"""
+
+    o["D1_exact_dedup"] = r"""
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS tn
+      FROM documents)
+GROUP BY tn
+"""
+
+    o["D2_ngram_jaccard"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
+"""
+
+    o["S1_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS qid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS nid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+s AS (SELECT qid AS query_id, nid AS neighbor_id,
+             list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+             AS sim
+      FROM c CROSS JOIN q WHERE nid != qid),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+    en = "('the','a','of','and','to','in','is','it','that','for')"
+    fr = "('le','la','les','de','et','un','une','est','que','pour')"
+    o["T1_language_id"] = f"""
+WITH t AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+r AS (
+  SELECT id,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN {en})) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS en_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN {fr})) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS fr_ratio
+  FROM t)
+SELECT id, round(en_ratio, 9) AS en_ratio, round(fr_ratio, 9) AS fr_ratio,
+       CASE WHEN en_ratio >= fr_ratio AND en_ratio > 0 THEN 'en'
+            WHEN fr_ratio > en_ratio THEN 'fr' ELSE 'und' END AS lang_pred
+FROM r
+"""
+
+    o["T2_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id AS id, text,
+         length(text) AS n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents),
+r AS (
+  SELECT id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN {en})) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM t)
+SELECT id, CAST(n_chars AS BIGINT) AS n_chars, n_tokens,
+       round(punct_ratio, 9) AS punct_ratio,
+       round(stop_ratio, 9) AS stop_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4 + stop_ratio * 0.3
+             + (1 - least(punct_ratio * 5, 1.0)) * 0.3, 9) AS score
+FROM r
+"""
+
+    o["T3_fingerprint"] = """
+SELECT doc_id AS id,
+       CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                         list_transform(str_split(text, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+FROM documents
+"""
+
+    o["MM1_binary_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+"""
+
+    # KG_pipeline_triples / KG_pipeline_features / D3_minhash_lsh /
+    # D4_simhash / S2_lsh_topk: intentionally omitted (non-SQL-expressible:
+    # gazetteer longest-match annotation, xxhash64-based sketches, SRP-LSH).
+    return o

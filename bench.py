@@ -1,0 +1,77 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: full KG-construction pipeline (annotate -> enrich -> triples ->
+features) over pages synthesized from $SPARK_GRAFT_SF_DIR/documents.parquet,
+plus the per-operator headline queries. Extra keys (triples, triples_per_sec,
+cpus) document throughput for BENCH/BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as E
+    from pysemanticcomplexity_spark import fixtures
+    from pysemanticcomplexity_spark.pipeline import KGPipeline
+    from pysemanticcomplexity_spark.session import get_spark
+    from pysemanticcomplexity_spark.sources.pages import pages_from_documents
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM/Arrow path once on a tiny slice so the headline numbers
+    # measure steady-state throughput, not first-job startup
+    pages = pages_from_documents(spark, sf_dir)
+    dims = fixtures.spark_dims(spark)
+    pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"])
+    pipe.run(pages.limit(64)).triples.count()
+
+    # headline: triples materialization + feature vectors
+    n_triples = timed("kg_triples", lambda: pipe.run(pages).triples.count())
+    timed("kg_features", lambda: pipe.run(pages).features.count())
+
+    qs = E.queries()
+    for name in ["S7_mentions_sql", "G3_triples_sql_model", "M_graph_density",
+                 "Q1_lineitem_agg", "J1_join_nation_revenue", "W1_running_sum",
+                 "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh",
+                 "D4_simhash", "S1_cosine_topk", "T2_quality_score",
+                 "T3_fingerprint"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    wall = timings["kg_triples"]
+    result = {
+        "metric": "kg_pipeline_triples_wall",
+        "value": wall,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 1) if wall else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k: JVM-side dot products via
+  ``F.aggregate``/``zip_with`` (no Python), shuffle = one broadcast of the
+  query block. Baseline and verification oracle.
+* ``lsh_topk``         — random-hyperplane LSH bucketing: queries and corpus
+  meet only inside shared hash buckets (probe multiple tables), turning the
+  O(N*Q) cross join into O(bucket) joins — the 100 TB path.
+
+Vectors are cast to double before arithmetic so results are reproducible
+across engines (float32 summation order differences disappear at double
+precision for 64-dim vectors).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["cosine_topk", "lsh_topk"]
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, rank): exact top-k cosine neighbors, self
+    excluded; ties broken by neighbor_id ascending (deterministic)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                      .alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                       .alias("qvec"))
+    sim = (c.crossJoin(F.broadcast(q))
+           .filter(F.col("neighbor_id") != F.col("query_id"))
+           .select("query_id", "neighbor_id",
+                   (_dot(F.col("cvec"), F.col("qvec"))
+                    / (_norm(F.col("cvec")) * _norm(F.col("qvec"))))
+                   .alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_tables: int = 8, n_bits: int = 10,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k via random-hyperplane (SRP) LSH.
+
+    Each table hashes a vector to an ``n_bits`` sign pattern; a query only
+    scores corpus vectors sharing a bucket in >= 1 table. Recall rises with
+    ``n_tables``; cost stays ~bucket-sized. Hyperplanes are a seeded,
+    broadcast-inlined literal matrix (deterministic)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_bits, dim)
+
+    def bucket_expr(vec):
+        table_hashes = []
+        for t in range(n_tables):
+            bits = None
+            for b in range(n_bits):
+                coeffs = F.array(*[F.lit(float(planes[t, b, d])) for d in range(dim)])
+                proj = F.aggregate(F.zip_with(vec, coeffs, lambda x, y: x * y),
+                                   F.lit(0.0), lambda acc, v: acc + v)
+                bit = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                bits = bit if bits is None else bits + bit
+            table_hashes.append(F.struct(F.lit(t).alias("table"),
+                                         bits.alias("bucket")))
+        return F.array(*table_hashes)
+
+    def prep(df, out_id):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return (df.select(F.col(id_col).alias(out_id), v.alias("v"))
+                .withColumn("tb", F.explode(bucket_expr(F.col("v"))))
+                .select(out_id, "v", "tb.table", "tb.bucket"))
+
+    c = prep(corpus, "neighbor_id").withColumnRenamed("v", "cvec")
+    q = prep(queries, "query_id").withColumnRenamed("v", "qvec")
+    cand = (c.join(q, ["table", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "cvec", "qvec")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    sim = cand.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("cvec"), F.col("qvec"))
+         / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

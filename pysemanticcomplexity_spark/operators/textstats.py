@@ -1,0 +1,82 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure JVM expressions (whole-stage codegen) so
+they run at scan speed over 100 TB — deliberately SQL-expressible so every
+one has a DuckDB oracle.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint"]
+
+# tiny built-in stopword lists for the n-gram/stopword language heuristic
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+FR_STOPWORDS = ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"]
+
+TOKEN_PATTERN = "[a-z0-9]+"
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def token_count_expr(col) -> F.Column:
+    """Regex token count (the SQL-oracle token model; exact Treebank counting
+    lives in operators/preprocess.count_words_udf)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def _stop_ratio(col, stopwords) -> F.Column:
+    toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), F.lit(0))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, en_ratio, fr_ratio, lang_pred): stopword-ratio heuristic."""
+    en = _stop_ratio(F.col(text_col), EN_STOPWORDS)
+    fr = _stop_ratio(F.col(text_col), FR_STOPWORDS)
+    pred = (F.when((en >= fr) & (en > 0), F.lit("en"))
+            .when(fr > en, F.lit("fr"))
+            .otherwise(F.lit("und")))
+    return docs.select(F.col(id_col).alias("id"), en.alias("en_ratio"),
+                       fr.alias("fr_ratio"), pred.alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_token_len, score).
+
+    score = weighted combination used as a training-data quality filter:
+    favors texts with healthy length, some stopwords, low punctuation noise.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t)
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = _stop_ratio(t, EN_STOPWORDS)
+    mean_tok = F.when(n_tokens > 0,
+                      F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
+                      / n_tokens).otherwise(F.lit(0.0))
+    score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+             + stop_ratio * 0.3
+             + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3)
+    return docs.select(
+        F.col(id_col).alias("id"), n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        stop_ratio.cast("double").alias("stop_ratio"),
+        mean_tok.cast("double").alias("mean_token_len"),
+        score.cast("double").alias("score"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, fp): polynomial rolling hash over characters,
+    fp = fold(acc*31 + ascii(ch)) mod 1e9+7 — engine-portable (same integer
+    ops give the same value in DuckDB), stays in int64 range."""
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD)
+    return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))

@@ -18,13 +18,14 @@ not need the BFS metrics; it is also the DuckDB-oracle surface.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .. import FEATURE_COLUMNS, MANAGED_NAMESPACES, PRED_SUBCLASS_OF, VIRTUAL_ROOT
 from .. import schemas
-from ..ref_semantics import DocGraph, vectorize_graph
+from .vectorize_kernel import compute_features
 
 __all__ = ["vectorize", "features_df_only", "pack_graph"]
 
@@ -56,24 +57,32 @@ def vectorize(nodes: DataFrame, triples: DataFrame,
     def compute(key, graph_pdf: pd.DataFrame, words_pdf: pd.DataFrame) -> pd.DataFrame:
         url = key[0]
         nb_words = int(words_pdf["nb_words"].iloc[0]) if len(words_pdf) else None
-        g = DocGraph(nb_words)
         npdf = graph_pdf[graph_pdf["kind"] == "n"]
-        for a, is_r, cnt, off, nt, li, lo in zip(
-                npdf["a"], npdf["is_resource"], npdf["count"], npdf["offset"],
-                npdf["nb_types"], npdf["nb_links_in"], npdf["nb_links_out"]):
-            attrs = {"resource": bool(is_r)}
-            if is_r:
-                attrs["count"] = int(cnt)
-                attrs["offset"] = int(off)
-                if not pd.isna(nt):
-                    attrs["nbTypes"] = int(nt)
-                    attrs["nbLinksIn"] = int(li)
-                    attrs["nbLinksOut"] = int(lo)
-            g.add_node(a, **attrs)
         epdf = graph_pdf[graph_pdf["kind"] == "e"]
+        node_ids = list(npdf["a"])
+        known = set(node_ids)
+        # edge endpoints not in the node table (defensive; shouldn't happen)
         for a, b in zip(epdf["a"], epdf["b"]):
-            g.add_edge(a, b)
-        feats = vectorize_graph(g)
+            for x in (a, b):
+                if x not in known:
+                    known.add(x)
+                    node_ids.append(x)
+        pad = len(node_ids) - len(npdf)
+        is_res = np.concatenate([npdf["is_resource"].to_numpy(dtype=bool),
+                                 np.zeros(pad, dtype=bool)])
+        f64 = lambda s: np.concatenate([s.to_numpy(dtype="float64"),
+                                        np.full(pad, np.nan)])
+        feats = compute_features(
+            node_ids=node_ids,
+            is_resource=is_res,
+            counts=np.nan_to_num(f64(npdf["count"])),
+            offsets=f64(npdf["offset"]),
+            nb_types=f64(npdf["nb_types"]),
+            nb_links_in=f64(npdf["nb_links_in"]),
+            nb_links_out=f64(npdf["nb_links_out"]),
+            edges=list(zip(epdf["a"], epdf["b"])),
+            nb_words=nb_words,
+        )
         return pd.DataFrame([[url] + feats], columns=FEATURE_COLUMNS)
 
     # rename the right-side key: both inputs share lineage (same annotator

@@ -1,0 +1,161 @@
+"""Vectorized numpy kernel for the per-document feature computation.
+
+The Spark vectorizer (operators/vectorize.py) runs this inside
+``cogroup().applyInPandas``. Unlike the reference-shaped pure-Python oracle
+(ref_semantics.vectorize_graph — per-node BFS loops mirroring networkx),
+this kernel computes the all-pairs distance matrix with boolean matrix
+products (O(diameter) matmuls on graphs of 10^2-10^3 nodes), which is both
+~10x faster per document and a fully independent implementation — the test
+suite checks the two against each other.
+
+Feature definitions: reference tranformers.py:40-186 (see ref_semantics.py
+for the per-feature citations and the two documented divergences: NaN/NULL
+for zero-word ratios and for empty-graph textDensity).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import MANAGED_NAMESPACES, VIRTUAL_ROOT
+
+__all__ = ["compute_features"]
+
+
+def _distance_matrix(adj: np.ndarray) -> np.ndarray:
+    """All-pairs unweighted shortest paths via boolean matmul frontier
+    expansion; inf where unreachable."""
+    n = adj.shape[0]
+    dist = np.full((n, n), np.inf)
+    np.fill_diagonal(dist, 0.0)
+    reach = np.eye(n, dtype=bool)
+    frontier = np.eye(n, dtype=bool)
+    d = 0
+    while frontier.any():
+        d += 1
+        nxt = (frontier @ adj) & ~reach
+        if not nxt.any():
+            break
+        dist[nxt] = d
+        reach |= nxt
+        frontier = nxt
+    return dist
+
+
+def compute_features(
+    node_ids: List[str],
+    is_resource: np.ndarray,
+    counts: np.ndarray,
+    offsets: np.ndarray,
+    nb_types: np.ndarray,          # NaN where enrichment attrs are absent
+    nb_links_in: np.ndarray,
+    nb_links_out: np.ndarray,
+    edges: List[Tuple[str, str]],
+    nb_words: Optional[int],
+    namespaces: Dict[str, str] = None,
+) -> List[float]:
+    """Return the 24 features in reference column order (after filename)."""
+    namespaces = namespaces or MANAGED_NAMESPACES
+    n = len(node_ids)
+    index = {nid: i for i, nid in enumerate(node_ids)}
+    nb_word_feat = float(nb_words) if nb_words is not None else -1.0
+
+    adj = np.zeros((n, n), dtype=bool)
+    m_edges = 0
+    seen = set()
+    for a, b in edges:
+        ia, ib = index[a], index[b]
+        key = (ia, ib) if ia <= ib else (ib, ia)
+        if key in seen:
+            continue
+        seen.add(key)
+        m_edges += 1
+        if ia != ib:
+            adj[ia, ib] = adj[ib, ia] = True
+
+    res_mask = is_resource.astype(bool)
+    nb_concepts = float(counts[res_mask].sum()) if res_mask.any() else 0.0
+    nb_unique = float(res_mask.sum())
+
+    if n:
+        dist = _distance_matrix(adj)
+        ecc = dist.max(axis=1)
+        radius = float(ecc.min())
+        diameter = float(ecc.max())
+        deg = adj.sum(axis=1).astype(float)
+        # degree assortativity: Pearson r over both orientations of edges
+        if m_edges:
+            ii, jj = np.nonzero(np.triu(adj))
+            x = np.concatenate([deg[ii], deg[jj]])
+            y = np.concatenate([deg[jj], deg[ii]])
+            sx, sy = x.std(), y.std()
+            if sx == 0 or sy == 0:
+                assort = float("nan")
+            else:
+                assort = float(((x - x.mean()) * (y - y.mean())).mean() / (sx * sy))
+        else:
+            assort = float("nan")
+    else:
+        radius = diameter = 0.0
+        assort = 0.0
+        dist = None
+
+    density = 2.0 * m_edges / (n * (n - 1)) if n > 1 else 1.0
+
+    if nb_words:
+        cw_ratio = nb_concepts / nb_words
+        ucw_ratio = nb_unique / nb_words
+    else:
+        cw_ratio = ucw_ratio = float("nan")
+
+    # M7 textDensity over resource-node pairs
+    if n == 0:
+        td_mean = td_std = float("nan")
+    else:
+        text_len = nb_words
+        if text_len is None:
+            text_len = float(offsets[res_mask].max()) if res_mask.any() else None
+        r_idx = np.nonzero(res_mask)[0]
+        if len(r_idx) >= 2:
+            sub = dist[np.ix_(r_idx, r_idx)]
+            iu = np.triu_indices(len(r_idx), k=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d_graph = sub[iu] / diameter
+                offs = offsets[r_idx].astype(float)
+                d_text = np.abs(offs[iu[1]] - offs[iu[0]]) / text_len
+                dens = d_text * d_text * np.sqrt(d_graph)
+            td_mean = float(np.mean(dens))
+            td_std = float(np.std(dens))
+        else:
+            td_mean = td_std = float("nan")
+
+    # M8 type/link stats: skip resource nodes missing enrichment attrs
+    stats = []
+    for arr in (nb_types, nb_links_in, nb_links_out):
+        vals = arr[res_mask]
+        vals = vals[~np.isnan(vals)]
+        if len(vals):
+            stats.extend([float(vals.mean()), float(vals.std())])
+        else:
+            stats.extend([float("nan"), float("nan")])
+
+    feats = [nb_word_feat, nb_concepts, nb_unique, cw_ratio, ucw_ratio,
+             float(n), radius, diameter, assort, density, td_mean, td_std] + stats
+
+    # M9 per-namespace partial graphs
+    ids = np.array(node_ids, dtype=object)
+    for ns_uri in namespaces.values():
+        keep = res_mask.copy()
+        for i, nid in enumerate(node_ids):
+            if nid == VIRTUAL_ROOT or nid.startswith(ns_uri):
+                keep[i] = True
+        k = int(keep.sum())
+        if k:
+            sub_adj = adj[np.ix_(keep, keep)]
+            e_sub = int(np.triu(sub_adj).sum())
+        else:
+            e_sub = 0
+        feats.extend([float(k),
+                      2.0 * e_sub / (k * (k - 1)) if k > 1 else 1.0])
+    return feats

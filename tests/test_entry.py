@@ -1,0 +1,52 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql() consistency.
+
+The full Spark-vs-DuckDB sweep lives in scripts/check_oracle.py (run per
+round); here we keep a fast representative subset inside `pytest -x -q`.
+"""
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+FAST_ORACLE_SUBSET = [
+    "P1_clean_text", "P6_offset_window", "S7_mentions_sql", "A4_concept_info",
+    "G2_closure", "G3_triples_sql_model", "Q1_lineitem_agg", "W2_sessionize",
+    "T3_fingerprint", "S1_cosine_topk",
+]
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"url", "subj", "pred", "obj"}
+
+
+def test_every_oracle_key_has_query():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_).issubset(set(qs))
+    # non-SQL ops are the only omissions
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"KG_pipeline_triples", "KG_pipeline_features",
+                         "D3_minhash_lsh", "D4_simhash", "S2_lsh_topk"}
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
+def test_oracle_subset_matches(spark, name):
+    sys.path.insert(0, "/root/repo/scripts")
+    from check_oracle import compare, duck_connection
+    qs, os_ = E.queries(), E.oracle_sql()
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    ddf = con.sql(os_[name]).df()
+    problems = compare(name, sdf, ddf)
+    assert not problems, problems
+
+
+def test_rows_only_queries_run(spark):
+    qs = E.queries()
+    for name in ["D3_minhash_lsh", "D4_simhash", "S2_lsh_topk"]:
+        assert qs[name](spark, SF_DIR).count() >= 0, name
