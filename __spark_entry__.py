@@ -445,7 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf_dir)
         sh = dedup.shingles(d)
         sigs = dedup.minhash_signatures(sh, num_hashes=32)
-        return dedup.lsh_candidate_pairs(sigs, bands=8)
+        return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32)
     q["D3_minhash_lsh"] = d3_minhash
 
     def d4_simhash(spark, sf_dir):

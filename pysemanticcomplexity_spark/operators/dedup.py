@@ -71,11 +71,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
                       .alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
+                        sig_len: int = None) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
-    on all rows of any band become candidate pairs (id_a < id_b)."""
-    n = None  # rows per band derived from signature length at runtime
-    sig_len = len(sigs.select("sig").first()["sig"])
+    on all rows of any band become candidate pairs (id_a < id_b).
+
+    Pass sig_len (= num_hashes) to avoid a schema-probe job; it is only
+    inferred with an extra action when omitted."""
+    if sig_len is None:
+        sig_len = len(sigs.select("sig").first()["sig"])
     rows_per_band = sig_len // bands
     buckets = sigs.select(
         "id",

@@ -39,10 +39,19 @@ class KGPipeline:
                  instance_types_df: DataFrame, kb_triples_df: DataFrame,
                  confidence: float = 0.5,
                  disambiguation: str = "local",
-                 broadcast_concept_info: bool = True):
+                 broadcast_concept_info: bool = True,
+                 persist_intermediate: bool = True):
         """disambiguation: 'local' (inside the annotator, shuffle-free),
         'agg' (groupBy+max_by), or 'apply' (groupBy.applyInPandas,
-        north_star shape)."""
+        north_star shape).
+
+        persist_intermediate: persist the annotated mentions (the expensive
+        mapInPandas output) — it feeds several downstream branches (A5
+        aggregation, A1 distinct-uri broadcast, doc_words) which would each
+        re-execute the annotator otherwise. This is the in-memory analogue
+        of the reference's staged JSON materialization (SURVEY.md §3.2); at
+        cluster scale the same role is played by writing the mentions table.
+        """
         self.spark = spark
         self.gazetteer_rows = list(gazetteer_rows)
         self.ontology_edge_rows = list(ontology_edge_rows)
@@ -51,6 +60,7 @@ class KGPipeline:
         self.confidence = confidence
         self.disambiguation = disambiguation
         self.broadcast_concept_info = broadcast_concept_info
+        self.persist_intermediate = persist_intermediate
         self.closure = graph.closure_table(spark, self.ontology_edge_rows)
 
     def run(self, pages: DataFrame) -> PipelineResult:
@@ -64,6 +74,8 @@ class KGPipeline:
             fn = (disambiguate.disambiguate_agg if self.disambiguation == "agg"
                   else disambiguate.disambiguate_apply)
             annotated = fn(cands, self.confidence)
+        if self.persist_intermediate:
+            annotated = annotated.persist()
         mentions, doc_words = annotate.split_mentions(annotated)
 
         uris = enrich.distinct_uris(mentions)
@@ -71,7 +83,15 @@ class KGPipeline:
 
         resources = graph.resource_concepts(
             mentions, info, broadcast_info=self.broadcast_concept_info)
+        if self.persist_intermediate:
+            # stage tables (the reference's staged materialization, §3.2):
+            # resources feeds 3 triple branches + nodes; triples feeds the
+            # sink, nodes and the vectorizer — without a barrier each branch
+            # re-executes the whole upstream including the broadcast build.
+            resources = resources.persist()
         triples = graph.build_triples(resources, self.closure)
+        if self.persist_intermediate:
+            triples = triples.persist()
         nodes = graph.build_nodes(resources, triples)
         features = vectorize.vectorize(nodes, triples, doc_words)
         return PipelineResult(mentions=mentions, doc_words=doc_words,

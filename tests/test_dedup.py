@@ -1,0 +1,110 @@
+"""Dedup operators: exact, minhash/LSH, simhash, n-gram Jaccard."""
+import itertools
+
+import pytest
+import pyspark.sql.functions as F
+
+from pysemanticcomplexity_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup
+        (2, "  The quick   brown fox jumps over the lazy DOG "),  # normalized dup
+        (3, "the quick brown fox jumps over the lazy cat"),       # near dup
+        (4, "completely different content about spark engines"),
+        (5, "completely different content about spark engines!"),
+        (6, "tiny"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 3            # 0,1,2 collapse after normalization
+    assert out[3] == 1
+    assert sum(out.values()) == 8
+
+
+def test_shingles_short_docs(spark, docs):
+    sh = dedup.shingles(docs, n=3)
+    got = {r["id"] for r in sh.collect()}
+    assert 6 not in got and 7 not in got      # <3 tokens -> no shingles
+
+
+def test_jaccard_pairs(spark, docs):
+    sh = dedup.shingles(docs, n=3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(sh, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert 0.4 < pairs[(0, 3)] < 1.0          # near dup
+    assert (0, 4) not in pairs
+
+    # oracle: hand-computed jaccard for (0, 3)
+    def sh_set(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    a, b = sh_set("the quick brown fox jumps over the lazy dog"), \
+        sh_set("the quick brown fox jumps over the lazy cat")
+    expected = len(a & b) / len(a | b)
+    assert abs(pairs[(0, 3)] - expected) < 1e-12
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sh = dedup.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=32)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_minhash_deterministic(spark, docs):
+    sh = dedup.shingles(docs, n=3)
+    s1 = {r["id"]: r["sig"] for r in
+          dedup.minhash_signatures(sh, num_hashes=16).collect()}
+    s2 = {r["id"]: r["sig"] for r in
+          dedup.minhash_signatures(sh, num_hashes=16).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]                     # identical text -> identical sig
+
+
+def test_simhash_hamming(spark, docs):
+    fps = dedup.simhash(docs)
+    vals = {r["id"]: r["fingerprint"] for r in fps.collect()}
+    assert vals[0] == vals[1] == vals[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_candidate_pairs(fps, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert 0 < pairs.get((0, 3), 99) <= 10    # near dup within distance
+    assert (0, 4) not in pairs
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover >=90% of truly similar pairs (j>=0.6)
+    on a synthetic corpus with planted near-duplicates."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        base = [vocab[rng.randint(200)] for _ in range(40)]
+        rows.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        for _ in range(3):
+            mutated[rng.randint(40)] = vocab[rng.randint(200)]
+        rows.append((2 * i + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs, n=3)
+    truth = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(sh, threshold=0.6).collect()}
+    # bands=16 (2 rows/band): candidate prob at j=0.6 is 1-(1-0.6^2)^16 ~ 0.999
+    sigs = dedup.minhash_signatures(sh, num_hashes=32)
+    cand = {(r["id_a"], r["id_b"]) for r in
+            dedup.lsh_candidate_pairs(sigs, bands=16, sig_len=32).collect()}
+    assert truth, "fixture should contain similar pairs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, recall

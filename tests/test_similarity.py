@@ -1,0 +1,72 @@
+"""Similarity search: exact top-k vs numpy oracle; LSH recall."""
+import numpy as np
+import pytest
+
+from pysemanticcomplexity_spark.operators import similarity
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, DIM).astype(np.float32)
+    # plant exact near-neighbors: vec[i+40] ~ vec[i]
+    for i in range(40):
+        vecs[i + 40] = vecs[i] + rng.randn(DIM).astype(np.float32) * 0.05
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _numpy_topk(vecs, query_ids, k):
+    v = vecs.astype(np.float64)
+    normed = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    out = {}
+    for q in query_ids:
+        order = sorted(((-sims[q, j], j) for j in range(len(v)) if j != q))
+        out[q] = [j for _, j in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    got = {}
+    res = similarity.cosine_topk(df, df.filter("vec_id < 10"), k=5)
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    expected = _numpy_topk(vecs, range(10), 5)
+    for q in range(10):
+        mine = [n for _, n in sorted(got[q])]
+        assert mine == expected[q], (q, mine, expected[q])
+
+
+def test_planted_neighbor_is_top1(spark, emb):
+    df, _ = emb
+    res = similarity.cosine_topk(df, df.filter("vec_id < 10"), k=1)
+    for r in res.collect():
+        assert r["neighbor_id"] == r["query_id"] + 40
+
+
+def test_lsh_topk_recall(spark, emb):
+    """SRP-LSH recalls *strong* neighbors: the planted near-duplicate
+    (cos ~0.99) must be found for >=90% of queries; weak random top-3
+    neighbors are legitimately missed (that's the bucket-pruning trade)."""
+    df, vecs = emb
+    res = similarity.lsh_topk(df, df.filter("vec_id < 10"), k=3, dim=DIM,
+                              n_tables=8, n_bits=6)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    planted_hits = sum(1 for q in range(10) if (q + 40) in got.get(q, set()))
+    assert planted_hits >= 9, planted_hits
+
+
+def test_lsh_deterministic(spark, emb):
+    df, _ = emb
+    a = {tuple(r) for r in similarity.lsh_topk(
+        df, df.filter("vec_id < 5"), k=3, dim=DIM).collect()}
+    b = {tuple(r) for r in similarity.lsh_topk(
+        df, df.filter("vec_id < 5"), k=3, dim=DIM).collect()}
+    assert a == b
