@@ -46,7 +46,16 @@ from pysemanticcomplexity_spark.session import get_spark
 
 cpus = int(sys.argv[1]); path = sys.argv[2]
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus * 2,
+                  extra_conf={
+                      # the replicated input is ~50 MB of parquet — default
+                      # 128 MB bin-packing would collapse it into a handful
+                      # of scan partitions and serialize the annotator; at
+                      # real 100 TB scale the default sizing is correct.
+                      "spark.sql.files.maxPartitionBytes": "1m",
+                      "spark.sql.files.openCostInBytes": "64k",
+                      "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+                  })
 pages = spark.read.parquet(path)
 dims = fixtures.spark_dims(spark)
 pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),

@@ -25,6 +25,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 
 
+def has_wholestage_codegen(df: DataFrame) -> bool:
+    """executedPlan().toString() marks codegen stages with a '*(n)' prefix."""
+    plan = executed_plan(df)
+    return "*(" in plan or "WholeStageCodegen" in plan
+
+
 def count_shuffles(df: DataFrame) -> int:
     plan = executed_plan(df)
     return plan.count("Exchange hashpartitioning") + \

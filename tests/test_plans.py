@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the plan we want, not just one that passes.
+
+Checks (SURVEY.md §4): dimension joins go broadcast, scans prune columns,
+expression-only stages stay in whole-stage codegen, and the hot path has no
+unexpected shuffles.
+"""
+import pyspark.sql.functions as F
+
+from pysemanticcomplexity_spark import fixtures, plans
+from pysemanticcomplexity_spark.operators import annotate, enrich, graph
+
+
+def test_annotator_has_no_shuffle(spark, pages60_df):
+    ann = annotate.annotate_pages(spark, pages60_df, fixtures.gazetteer())
+    assert plans.count_shuffles(ann) == 0
+
+
+def test_concept_info_join_is_broadcast(spark, dims, pages60_df):
+    ann = annotate.annotate_pages(spark, pages60_df, fixtures.gazetteer())
+    mentions, _ = annotate.split_mentions(ann)
+    uris = enrich.distinct_uris(mentions)
+    info = enrich.concept_info(uris, dims["instance_types"], dims["kb_triples"])
+    res = graph.resource_concepts(mentions, info)
+    assert plans.has_broadcast_join(res)
+
+
+def test_closure_join_is_broadcast(spark, dims, pages60_df):
+    ann = annotate.annotate_pages(spark, pages60_df, fixtures.gazetteer())
+    mentions, _ = annotate.split_mentions(ann)
+    uris = enrich.distinct_uris(mentions)
+    info = enrich.concept_info(uris, dims["instance_types"], dims["kb_triples"])
+    res = graph.resource_concepts(mentions, info)
+    closure = graph.closure_table(spark, fixtures.ontology_edges())
+    triples = graph.build_triples(res, closure)
+    plan = plans.executed_plan(triples)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_textstats_whole_stage_codegen(spark):
+    from pysemanticcomplexity_spark.operators import textstats
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = plans.executed_plan(textstats.quality_score(docs))
+    # all-JVM expressions: no Python evaluation nodes anywhere in the plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "regexp_extract_all" in plan          # stayed an expression
+
+
+def test_sql_mention_model_single_codegen_stage(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    df = E.queries()["S7_mentions_sql"](spark, "/root/testdata/sf0.001")
+    plan = plans.executed_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # filter + explode + project collapse into codegen over the parquet scan
+    assert plans.has_wholestage_codegen(df)
+    assert plans.read_schema_of_scan(df) != "" and \
+        "text" in plans.read_schema_of_scan(df)
