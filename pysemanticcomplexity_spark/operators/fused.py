@@ -1,0 +1,203 @@
+"""Fused single-pass pipeline: pages -> (triples, features) with ZERO shuffles.
+
+Architectural note (the 100 TB design): every stage of the reference
+pipeline is per-document EXCEPT A1 (corpus-wide distinct URIs,
+conceptsEnrichment.py:14-15) — and A1 exists only to bound the number of
+HTTP requests against remote SPARQL endpoints. With the KB as local tables,
+the enrichment universe is bounded by the *gazetteer* URI set instead
+(every emitted mention URI comes from the gazetteer), which is a small
+static dimension. Precompute `concept_info` for that universe with the
+same A2-A4 joins, collect it (tiny), and broadcast it together with the
+gazetteer and the ontology closure. Then clean -> split -> filter ->
+tokenize -> annotate -> disambiguate -> A5 -> P7/P8 -> G1-G3 -> M1-M10 all
+happen inside ONE Arrow-batched ``mapInPandas`` over the pages scan:
+
+  * no shuffle touches the 100 TB table — the job is scan-bound;
+  * output is one compact row per document (url, nb_words,
+    triples array<struct>, features array<double>), ~100x smaller than the
+    input, exploded/projected into the triples and features tables;
+  * per-bucket lineage + resume (lineage.py) applies unchanged.
+
+The staged DataFrame pipeline (pipeline.KGPipeline.run) remains the general
+path — needed when the entity universe is NOT bounded by a broadcastable
+gazetteer (e.g. open-vocabulary linking) — and is the path cross-checked
+against the pure-Python reference oracle; the fused path is additionally
+checked to be identical to the staged path (tests/test_fused.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import FEATURE_COLUMNS, PRED_HAS_TYPE, PRED_SUBCLASS_OF, VIRTUAL_ROOT
+from ..annotation_core import GazetteerMatcher
+from ..ontology import OntologyIndex
+from ..ref_semantics import process_to_paragraphs
+from ..treebank import count_words
+from .vectorize_kernel import compute_features
+
+__all__ = ["fused_docs", "triples_from_docs", "features_from_docs",
+           "build_broadcast_state"]
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("nb_words", T.LongType(), False),
+    T.StructField("triples", T.ArrayType(T.StructType([
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+    ])), False),
+    T.StructField("features", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def build_broadcast_state(spark: SparkSession, gazetteer_rows,
+                          ontology_edge_rows, instance_types_df: DataFrame,
+                          kb_triples_df: DataFrame,
+                          confidence: float = 0.5):
+    """Precompute + broadcast all dimensions the fused kernel needs.
+
+    concept_info is computed with the same Spark A2-A4 joins as the staged
+    path, over the gazetteer URI universe, then collected (bounded by
+    gazetteer size, not corpus size)."""
+    from . import enrich
+
+    uris = sorted({uri for _s, uri, *_rest in gazetteer_rows})
+    uris_df = spark.createDataFrame([(u,) for u in uris], "uri string")
+    info_rows = enrich.concept_info(
+        uris_df, instance_types_df, kb_triples_df).collect()
+    info_map = {r["uri"]: (sorted(r["types"]), int(r["nb_links_in"]),
+                           int(r["nb_links_out"])) for r in info_rows}
+    return spark.sparkContext.broadcast({
+        "gazetteer": list(gazetteer_rows),
+        "confidence": confidence,
+        "ontology_edges": [(c, p) for c, p, *_ in ontology_edge_rows],
+        "info": info_map,
+    })
+
+
+def _document_kernel(url: str, text: str, matcher: GazetteerMatcher,
+                     onto: OntologyIndex, info_map: Dict[str, tuple]):
+    """One document end-to-end: mentions -> graph -> triples + features."""
+    paragraphs = process_to_paragraphs(text or "")
+    nb_words = sum(count_words(p) for p in paragraphs) if paragraphs else 0
+
+    # annotate + disambiguate + re-base offsets (doc order preserved)
+    mentions: List[Tuple[str, int, List[str]]] = []   # (uri, doc_offset, types)
+    offset_span = 0
+    for p in paragraphs:
+        for (off, _surface, uri, types, _sim, _psr, _sup, _nc) in matcher.annotate(p):
+            mentions.append((uri, off + offset_span, types))
+        offset_span += len(p)
+
+    # A5: count + last-mention-wins (builders.py:61-63)
+    counts: Dict[str, int] = {}
+    last: Dict[str, Tuple[int, List[str]]] = {}
+    for uri, off, types in mentions:
+        counts[uri] = counts.get(uri, 0) + 1
+        last[uri] = (off, types)
+
+    triples = set()
+    node_ids: List[str] = []
+    node_idx: Dict[str, int] = {}
+    is_res, cnts, offs = [], [], []
+    nb_types_l, links_in_l, links_out_l = [], [], []
+
+    def add_node(nid, resource=False, count=np.nan, offset=np.nan,
+                 ntypes=np.nan, lin=np.nan, lout=np.nan):
+        i = node_idx.get(nid)
+        if i is None:
+            node_idx[nid] = len(node_ids)
+            node_ids.append(nid)
+            is_res.append(resource)
+            cnts.append(count)
+            offs.append(offset)
+            nb_types_l.append(ntypes)
+            links_in_l.append(lin)
+            links_out_l.append(lout)
+
+    edges: List[Tuple[str, str]] = []
+    for uri, (off, sp_types) in last.items():
+        info = info_map.get(uri)
+        if info is not None:
+            etypes, lin, lout = info
+            add_node(uri, True, counts[uri], off, float(len(etypes)),
+                     float(lin), float(lout))
+        else:
+            etypes = []
+            add_node(uri, True, counts[uri], off)
+        # P7/P8 type assembly
+        canon = set()
+        for t in list(sp_types) + list(etypes):
+            c = onto.str_to_managed_uri(t)
+            if c is not None:
+                canon.add(c)
+        if canon:
+            for cls in sorted(canon):
+                add_node(cls)
+                triples.add((uri, PRED_HAS_TYPE, cls))
+                edges.append((uri, cls))
+                for (src, dst) in onto.closure_edges(cls):
+                    add_node(src)
+                    add_node(dst)
+                    if (src, PRED_SUBCLASS_OF, dst) not in triples:
+                        triples.add((src, PRED_SUBCLASS_OF, dst))
+                        edges.append((src, dst))
+        else:
+            add_node(VIRTUAL_ROOT)
+            triples.add((uri, PRED_HAS_TYPE, VIRTUAL_ROOT))
+            edges.append((uri, VIRTUAL_ROOT))
+
+    feats = compute_features(
+        node_ids=node_ids,
+        is_resource=np.array(is_res, dtype=bool),
+        counts=np.array(cnts, dtype=float),
+        offsets=np.array(offs, dtype=float),
+        nb_types=np.array(nb_types_l, dtype=float),
+        nb_links_in=np.array(links_in_l, dtype=float),
+        nb_links_out=np.array(links_out_l, dtype=float),
+        edges=edges,
+        nb_words=nb_words,
+    )
+    # NaN -> None for the NULL-canonical output tables
+    feats = [None if (f != f) else float(f) for f in feats]
+    return nb_words, sorted(triples), feats
+
+
+def fused_docs(spark: SparkSession, pages: DataFrame, state) -> DataFrame:
+    """pages -> one row per document (url, nb_words, triples, features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = state.value
+        matcher = GazetteerMatcher(cfg["gazetteer"], confidence=cfg["confidence"])
+        onto = OntologyIndex(cfg["ontology_edges"])
+        info_map = cfg["info"]
+        for pdf in batches:
+            out = {"url": [], "nb_words": [], "triples": [], "features": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                nb_words, triples, feats = _document_kernel(
+                    url, text, matcher, onto, info_map)
+                out["url"].append(url)
+                out["nb_words"].append(nb_words)
+                out["triples"].append(triples)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "text").mapInPandas(run, schema=DOC_SCHEMA)
+
+
+def triples_from_docs(docs: DataFrame) -> DataFrame:
+    return (docs.select("url", F.explode("triples").alias("t"))
+            .select("url", "t.subj", "t.pred", "t.obj"))
+
+
+def features_from_docs(docs: DataFrame) -> DataFrame:
+    cols = [F.col("url").alias("filename")] + [
+        F.col("features").getItem(i).alias(name)
+        for i, name in enumerate(FEATURE_COLUMNS[1:])]
+    return docs.select(*cols)

@@ -18,9 +18,16 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import annotate, disambiguate, enrich, graph, vectorize
+from .operators import annotate, disambiguate, enrich, fused, graph, vectorize
 
-__all__ = ["KGPipeline", "PipelineResult"]
+__all__ = ["KGPipeline", "PipelineResult", "FusedResult"]
+
+
+@dataclass
+class FusedResult:
+    docs: DataFrame          # one row per document (url, nb_words, triples, features)
+    triples: DataFrame
+    features: DataFrame
 
 
 @dataclass
@@ -97,6 +104,23 @@ class KGPipeline:
         return PipelineResult(mentions=mentions, doc_words=doc_words,
                               concept_info=info, resources=resources,
                               triples=triples, nodes=nodes, features=features)
+
+    def run_fused(self, pages: DataFrame, persist_docs: bool = True) -> FusedResult:
+        """Single-pass, shuffle-free pipeline (operators/fused.py): the whole
+        pages scan is processed in one mapInPandas with all dimensions
+        broadcast; triples/features are cheap projections of the compact
+        per-document output. Requires the entity universe to be bounded by
+        the gazetteer (true for Spotlight-style annotation). Results are
+        identical to run() — asserted in tests/test_fused.py."""
+        state = fused.build_broadcast_state(
+            self.spark, self.gazetteer_rows, self.ontology_edge_rows,
+            self.instance_types_df, self.kb_triples_df, self.confidence)
+        docs = fused.fused_docs(self.spark, pages, state)
+        if persist_docs:
+            docs = docs.persist()
+        return FusedResult(docs=docs,
+                           triples=fused.triples_from_docs(docs),
+                           features=fused.features_from_docs(docs))
 
     def run_and_write(self, pages: DataFrame, out_dir: str,
                       n_buckets: int = 64,
