@@ -1,0 +1,110 @@
+"""CLI mirroring the reference's staged subcommands (pysemcom.py:52-80,
+SURVEY.md §3.2), re-based on parquet stage tables:
+
+  python -m pysemanticcomplexity_spark.cli texts2vectors  <pages_dir> <out_dir>
+  python -m pysemanticcomplexity_spark.cli texts2concepts <pages_dir> <out_dir>
+  python -m pysemanticcomplexity_spark.cli concepts2info   <concepts_dir> <out_dir>
+  python -m pysemanticcomplexity_spark.cli concepts2graphs <concepts_dir> <info_dir> <out_dir>
+  python -m pysemanticcomplexity_spark.cli graphs2vectors  <graphs_dir> <out_csv_dir>
+
+The fixture gazetteer/ontology/KB stand in for the reference's remote
+services (--gazetteer/--ontology flags accept parquet overrides). Designed
+for `spark-submit --py-files pysemanticcomplexity_spark.zip cli.py ...` on a
+real cluster; runs on local[N] here.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import pyspark.sql.functions as F
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+    preexisting = SparkSession.getActiveSession() is not None
+    return get_spark(app_name=f"pysemcom-{args.cmd}"), preexisting
+
+
+def _pipeline(spark):
+    from . import fixtures
+    from .pipeline import KGPipeline
+    dims = fixtures.spark_dims(spark)
+    return KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pysemanticcomplexity_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, nargs in [("texts2vectors", 2), ("texts2concepts", 2),
+                        ("concepts2info", 2), ("concepts2graphs", 3),
+                        ("graphs2vectors", 2)]:
+        p = sub.add_parser(name)
+        p.add_argument("paths", nargs=nargs)
+        p.add_argument("--buckets", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    spark, preexisting = _spark(args)
+    from .operators import annotate, enrich, vectorize
+    from .sources import tables
+    from .sources.pages import read_pages
+    from . import fixtures
+
+    if args.cmd == "texts2vectors":
+        src, out = args.paths
+        pipe = _pipeline(spark)
+        pipe.run_and_write(read_pages(spark, src), out, n_buckets=args.buckets)
+
+    elif args.cmd == "texts2concepts":
+        src, out = args.paths
+        ann = annotate.annotate_pages(spark, read_pages(spark, src),
+                                      fixtures.gazetteer())
+        mentions, doc_words = annotate.split_mentions(ann)
+        tables.write_table(tables.concepts_nested(mentions, doc_words), out,
+                           n_buckets=args.buckets)
+
+    elif args.cmd == "concepts2info":
+        src, out = args.paths
+        concepts = tables.read_table(spark, src)
+        uris = (concepts.select(F.explode("mentions.uri").alias("uri"))
+                .distinct())
+        dims = fixtures.spark_dims(spark)
+        info = enrich.concept_info(uris, dims["instance_types"],
+                                   dims["kb_triples"])
+        info.write.mode("overwrite").parquet(out)
+
+    elif args.cmd == "concepts2graphs":
+        src, info_dir, out = args.paths
+        from .operators import graph
+        concepts = tables.read_table(spark, src)
+        info = spark.read.parquet(info_dir)
+        mentions = concepts.select(
+            "url", F.explode("mentions").alias("m")).select(
+            "url", "m.uri", F.col("m.scores.offset").alias("offset"),
+            F.col("m.types").alias("spotlight_types"))
+        resources = graph.resource_concepts(mentions, info)
+        closure = graph.closure_table(spark, fixtures.ontology_edges())
+        triples = graph.build_triples(resources, closure)
+        nodes = graph.build_nodes(resources, triples)
+        tables.write_table(triples, out + "/triples", n_buckets=args.buckets)
+        tables.write_table(nodes, out + "/nodes", n_buckets=args.buckets)
+        doc_words = concepts.select("url", "nb_words")
+        doc_words.write.mode("overwrite").parquet(out + "/doc_words")
+
+    elif args.cmd == "graphs2vectors":
+        src, out = args.paths
+        triples = tables.read_table(spark, src + "/triples")
+        nodes = tables.read_table(spark, src + "/nodes")
+        doc_words = spark.read.parquet(src + "/doc_words")
+        feats = vectorize.vectorize(nodes, triples, doc_words)
+        tables.write_features_csv(feats, out)
+
+    if not preexisting:        # embedded callers keep their session
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

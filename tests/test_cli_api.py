@@ -1,0 +1,60 @@
+"""Staged CLI roundtrip + library API parity."""
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from pysemanticcomplexity_spark import FEATURE_COLUMNS, fixtures
+from pysemanticcomplexity_spark import api
+
+
+def test_staged_cli_roundtrip(spark, dims, tmp_path, oracle60):
+    """texts2concepts -> concepts2info -> concepts2graphs -> graphs2vectors
+    == direct pipeline == oracle (S2-S5 table shapes round-trip)."""
+    from pysemanticcomplexity_spark import cli
+
+    pages_dir = str(tmp_path / "pages")
+    fixtures.spark_pages(spark, 60).write.parquet(pages_dir)
+    c_dir = str(tmp_path / "concepts")
+    i_dir = str(tmp_path / "info")
+    g_dir = str(tmp_path / "graphs")
+    v_dir = str(tmp_path / "vectors")
+
+    cli.main(["texts2concepts", pages_dir, c_dir, "--buckets", "8"])
+    cli.main(["concepts2info", c_dir, i_dir])
+    cli.main(["concepts2graphs", c_dir, i_dir, g_dir, "--buckets", "8"])
+    cli.main(["graphs2vectors", g_dir, v_dir])
+
+    _, _, ref_triples, ref_vectors = oracle60
+    got_triples = {(r["url"], r["subj"], r["pred"], r["obj"])
+                   for r in spark.read.parquet(g_dir + "/triples").collect()}
+    assert got_triples == ref_triples
+
+    csv = (spark.read.option("header", True).csv(v_dir))
+    assert csv.columns == FEATURE_COLUMNS
+    got = {r["filename"]: [float(r[c]) if r[c] not in (None, "") else None
+                           for c in FEATURE_COLUMNS[1:]]
+           for r in csv.collect()}
+    assert set(got) == set(ref_vectors)
+    for url, ref_v in ref_vectors.items():
+        for a, b in zip(got[url], ref_v):
+            a_und = a is None or math.isnan(a)
+            if a_und or math.isnan(b):
+                assert a_und and math.isnan(b), (url, a, b)
+            else:
+                assert abs(a - b) < 1e-6, (url, a, b)
+
+
+def test_api_transform_texts(spark):
+    texts = [
+        "x" * 151 + " spark and the window function run a hash join here",
+        "",
+        "short",
+    ]
+    mat = api.transform_texts(spark, texts)
+    assert mat.shape == (3, 24)
+    names = api.get_features_names()
+    nb_word = mat[:, names.index("nbWord")]
+    assert nb_word[0] > 0 and nb_word[1] == 0 and nb_word[2] == 0
+    assert mat[0, names.index("nbConcepts")] >= 3
+    assert np.isnan(mat[1, names.index("conceptsWordsRatio")])
