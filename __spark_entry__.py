@@ -333,6 +333,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").over(w).cast("long").alias("running_n"))
     q["W1_running_sum"] = w1_running
 
+    def m8_linkstats(spark, sf_dir):
+        """Per-doc mean/population-std of nb_links_in over mentioned uris —
+        derived from INTEGER sums so the doubles are bit-reproducible
+        across engines (see module docstring)."""
+        m = _mentions_df(spark, sf_dir).select("doc_id", "uri").distinct()
+        kb = spark.createDataFrame(_KB, "subj string, pred string, obj string")
+        inl = (kb.groupBy(F.col("obj").alias("uri"))
+               .agg(F.count("*").alias("nb_links_in")))
+        j = (m.join(F.broadcast(inl), "uri", "left")
+             .select("doc_id",
+                     F.coalesce("nb_links_in", F.lit(0)).alias("l")))
+        agg = j.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("l").cast("long").alias("s"),
+            F.sum(F.col("l") * F.col("l")).cast("long").alias("ss"))
+        n = F.col("n").cast("double")
+        mean = F.col("s") / n
+        var = F.col("ss") / n - mean * mean
+        return agg.select(
+            "doc_id", "n",
+            F.round(mean, 9).alias("links_mean"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("links_std"))
+    q["M8_linkstats_sql"] = m8_linkstats
+
+    def m9_ns_counts(spark, sf_dir):
+        """Namespace node counts over the direct-type graph (G4/M9 shape;
+        the closure-inclusive variant is covered by M_graph_density)."""
+        from pysemanticcomplexity_spark.operators.graph import canonicalize_expr
+        m = (_mentions_df(spark, sf_dir)
+             .select(F.col("doc_id").cast("string").alias("url"), "uri")
+             .distinct())
+        it = spark.createDataFrame(_ITYPES, "uri string, type_uri string")
+        canon = (it.select("uri", canonicalize_expr(F.col("type_uri")).alias("cls"))
+                 .filter(F.col("cls").isNotNull()).distinct())
+        has_type = (m.join(F.broadcast(canon), "uri")
+                    .select("url", F.col("uri").alias("subj"),
+                            F.col("cls").alias("obj")))
+        typeless = (m.join(F.broadcast(canon), "uri", "left_anti")
+                    .select("url", F.col("uri").alias("subj"),
+                            F.lit(ROOT).alias("obj")))
+        t = has_type.unionByName(typeless)
+        nodes = (t.select("url", F.col("subj").alias("node"))
+                 .unionByName(t.select("url", F.col("obj").alias("node")))
+                 .distinct())
+        aggs = [F.sum(F.when(F.col("node").startswith(p), 1).otherwise(0))
+                .cast("long").alias(f"ns{i}")
+                for i, p in enumerate(NS_PREFIXES)]
+        return (nodes.groupBy("url").agg(*aggs)
+                .select("url", F.col("ns0").alias("n_dbpedia"),
+                        F.col("ns1").alias("n_schema"),
+                        F.col("ns2").alias("n_yago")))
+    q["M9_namespace_counts"] = m9_ns_counts
+
+    def q2_rollup(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.rollup("l_returnflag", "l_linestatus")
+                .agg(F.count("*").cast("long").alias("n_rows"),
+                     F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+                     .cast("long").alias("sum_qty_cents")))
+    q["Q2_rollup"] = q2_rollup
+
+    def w3_topn(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("event_id"))
+        return (e.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 3)
+                .select("user_id", "event_id",
+                        F.col("rnk").cast("long").alias("rnk")))
+    q["W3_topn_per_user"] = w3_topn
+
     def w2_sessionize(spark, sf_dir):
         e = _events(spark, sf_dir)
         w = Window.partitionBy("user_id").orderBy("event_id")
@@ -684,6 +755,63 @@ s AS (
               THEN 1 ELSE 0 END AS brk
   FROM l)
 SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM s GROUP BY user_id
+"""
+
+    o["M8_linkstats_sql"] = f"""
+WITH {MENTIONS_SQL}, {KB_CTE},
+m AS (SELECT DISTINCT doc_id, uri FROM mentions),
+inl AS (SELECT obj AS uri, count(*) AS nb_links_in FROM kb GROUP BY obj),
+j AS (SELECT m.doc_id, COALESCE(inl.nb_links_in, 0) AS l
+      FROM m LEFT JOIN inl ON m.uri = inl.uri),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(l) AS BIGINT) AS s,
+               CAST(sum(l * l) AS BIGINT) AS ss
+        FROM j GROUP BY doc_id)
+SELECT doc_id, n,
+       round(s / CAST(n AS DOUBLE), 9) AS links_mean,
+       round(sqrt(greatest(ss / CAST(n AS DOUBLE)
+                           - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+                           0.0)), 9) AS links_std
+FROM agg
+"""
+
+    o["M9_namespace_counts"] = f"""
+WITH {MENTIONS_SQL}, {ITYPES_CTE},
+canon AS (SELECT uri, type_uri FROM itypes WHERE {ns_ok}),
+m AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url, uri FROM mentions),
+has_type AS (
+  SELECT DISTINCT m.url, m.uri AS subj, c.type_uri AS obj
+  FROM m JOIN canon c ON m.uri = c.uri),
+typeless AS (
+  SELECT m.url, m.uri AS subj, '{ROOT}' AS obj
+  FROM m LEFT JOIN canon c ON m.uri = c.uri WHERE c.type_uri IS NULL),
+triples AS (SELECT * FROM has_type UNION ALL SELECT * FROM typeless),
+nodes AS (
+  SELECT DISTINCT url, node FROM (
+    SELECT url, subj AS node FROM triples
+    UNION ALL SELECT url, obj AS node FROM triples))
+SELECT url,
+       CAST(sum(CASE WHEN starts_with(node, '{NS_PREFIXES[0]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_dbpedia,
+       CAST(sum(CASE WHEN starts_with(node, '{NS_PREFIXES[1]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_schema,
+       CAST(sum(CASE WHEN starts_with(node, '{NS_PREFIXES[2]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_yago
+FROM nodes GROUP BY url
+"""
+
+    o["Q2_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    o["W3_topn_per_user"] = """
+WITH r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events)
+SELECT user_id, event_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
 """
 
     o["D1_exact_dedup"] = r"""
