@@ -511,6 +511,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pipe.run(pages).features
     q["KG_pipeline_features"] = kg_features_full
 
+    def kg_triples_fused(spark, sf_dir):
+        from pysemanticcomplexity_spark.pipeline import KGPipeline
+        from pysemanticcomplexity_spark.sources.pages import pages_from_documents
+        pages = pages_from_documents(spark, sf_dir)
+        dims = fixtures.spark_dims(spark)
+        pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                          dims["instance_types"], dims["kb_triples"])
+        return pipe.run_fused(pages, persist_docs=False).triples
+    q["KG_pipeline_triples_fused"] = kg_triples_fused
+
     def d3_minhash(spark, sf_dir):
         from pysemanticcomplexity_spark.operators import dedup
         d = _docs(spark, sf_dir)

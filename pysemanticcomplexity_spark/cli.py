@@ -41,7 +41,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, nargs in [("texts2vectors", 2), ("texts2concepts", 2),
                         ("concepts2info", 2), ("concepts2graphs", 3),
-                        ("graphs2vectors", 2)]:
+                        ("graphs2vectors", 2), ("printgraph", 2)]:
         p = sub.add_parser(name)
         p.add_argument("paths", nargs=nargs)
         p.add_argument("--buckets", type=int, default=64)
@@ -102,8 +102,32 @@ def main(argv=None):
         feats = vectorize.vectorize(nodes, triples, doc_words)
         tables.write_features_csv(feats, out)
 
+    elif args.cmd == "printgraph":
+        # reference subprograms/printGraph.py equivalent: dump one document's
+        # concept graph as DOT on stdout
+        graphs_dir, url = args.paths
+        triples = tables.read_table(spark, graphs_dir + "/triples") \
+            .filter(F.col("url") == url)
+        nodes = tables.read_table(spark, graphs_dir + "/nodes") \
+            .filter(F.col("url") == url)
+        print(to_dot(url, nodes.collect(), triples.collect()))
+
     if not preexisting:        # embedded callers keep their session
         spark.stop()
+
+
+def to_dot(url: str, node_rows, triple_rows) -> str:
+    """Graphviz DOT text for one document's concept graph."""
+    lines = [f'graph "{url}" {{']
+    for r in sorted(node_rows, key=lambda x: x["node_id"]):
+        shape = "box" if r["is_resource"] else "ellipse"
+        label = r["node_id"].rsplit("/", 1)[-1]
+        lines.append(f'  "{r["node_id"]}" [shape={shape}, label="{label}"];')
+    for r in sorted(triple_rows, key=lambda x: (x["subj"], x["obj"])):
+        style = "solid" if r["pred"] == "hasType" else "dashed"
+        lines.append(f'  "{r["subj"]}" -- "{r["obj"]}" [style={style}];')
+    lines.append("}")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":

@@ -151,7 +151,16 @@ def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
 
 def build_triples(resources: DataFrame, closure: DataFrame) -> DataFrame:
     """G3 (builders.py:69-104): hasType edges + broadcast-closure subClassOf
-    edges + typeless->root edges; one distinct per (url, subj, pred, obj)."""
+    edges + typeless->root edges.
+
+    Dedup analysis (saves shuffling the two larger branches): hasType rows
+    are unique by construction (resources are unique per (url, uri) and
+    canonical_types is already distinct, P8); typeless rows likewise; the
+    three branches cannot collide with each other (different preds / node
+    roles). Only the closure branch produces duplicates (documents whose
+    classes share ancestors), so the distinct is applied there alone —
+    global output is then duplicate-free without a global shuffle.
+    """
     typed = resources.select(
         "url", "uri", F.explode("canonical_types").alias("cls"))
 
@@ -167,15 +176,15 @@ def build_triples(resources: DataFrame, closure: DataFrame) -> DataFrame:
                  .select("url",
                          F.coalesce(closure["src"], doc_classes["cls"]).alias("subj"),
                          F.lit(PRED_SUBCLASS_OF).alias("pred"),
-                         F.coalesce(closure["dst"], F.lit(VIRTUAL_ROOT)).alias("obj")))
+                         F.coalesce(closure["dst"], F.lit(VIRTUAL_ROOT)).alias("obj"))
+                 .dropDuplicates(["url", "subj", "obj"]))
 
     typeless = (resources.filter(F.size("canonical_types") == 0)
                 .select("url", F.col("uri").alias("subj"),
                         F.lit(PRED_HAS_TYPE).alias("pred"),
                         F.lit(VIRTUAL_ROOT).alias("obj")))
 
-    return (has_type.unionByName(sub_class).unionByName(typeless)
-            .dropDuplicates(["url", "subj", "pred", "obj"]))
+    return has_type.unionByName(sub_class).unionByName(typeless)
 
 
 def build_nodes(resources: DataFrame, triples: DataFrame) -> DataFrame:

@@ -45,6 +45,21 @@ def test_staged_cli_roundtrip(spark, dims, tmp_path, oracle60):
                 assert abs(a - b) < 1e-6, (url, a, b)
 
 
+def test_printgraph_dot(spark, dims, pages60_df, tmp_path):
+    from pysemanticcomplexity_spark import cli
+    from pysemanticcomplexity_spark.pipeline import KGPipeline
+    pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"])
+    res = pipe.run(pages60_df)
+    url = (res.triples.groupBy("url").count()
+           .orderBy(F.desc("count")).first()["url"])
+    nodes = res.nodes.filter(F.col("url") == url).collect()
+    triples = res.triples.filter(F.col("url") == url).collect()
+    dot = cli.to_dot(url, nodes, triples)
+    assert dot.startswith(f'graph "{url}"') and dot.endswith("}")
+    assert "shape=box" in dot and "style=dashed" in dot
+
+
 def test_api_transform_texts(spark):
     texts = [
         "x" * 151 + " spark and the window function run a hash join here",

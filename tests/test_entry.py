@@ -31,6 +31,7 @@ def test_every_oracle_key_has_query():
     # non-SQL ops are the only omissions
     rows_only = set(qs) - set(os_)
     assert rows_only == {"KG_pipeline_triples", "KG_pipeline_features",
+                         "KG_pipeline_triples_fused",
                          "D3_minhash_lsh", "D4_simhash", "S2_lsh_topk"}
 
 
