@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .filter(F.col("cls").isNotNull())
                  .groupBy("uri").agg(F.collect_set("cls").alias("canonical_types")))
         resources = (m.select(F.col("doc_id").cast("string").alias("url"), "uri")
+                     .distinct()   # one row per (url, uri): several surfaces
+                                   # may map to the same uri in the SQL model
                      .join(F.broadcast(canon), "uri", "left")
                      .select("url", "uri",
                              F.coalesce("canonical_types",
