@@ -39,8 +39,11 @@ def main():
         return out
 
     # warm the JVM/Arrow path once on a tiny slice so the headline numbers
-    # measure steady-state throughput, not first-job startup
-    pages = pages_from_documents(spark, sf_dir)
+    # measure steady-state throughput, not first-job startup.
+    # The sf0.1 documents table is ONE small parquet file -> one scan
+    # partition; repartition so the scan-parallel stages actually use the
+    # cores (a real corpus has many input files and needs no such step).
+    pages = pages_from_documents(spark, sf_dir).repartition(cpus * 4)
     dims = fixtures.spark_dims(spark)
     pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
                       dims["instance_types"], dims["kb_triples"])
