@@ -454,6 +454,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("jaccard") >= 0.3))
     q["D2_ngram_jaccard"] = d2_jaccard
 
+    def d5_emb_neardup(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.dedup import embedding_near_dups
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # testdata embeddings are random gaussians (max pairwise cosine
+        # ~0.51 at sf0.01); 0.4 exercises the operator with non-empty output
+        return embedding_near_dups(emb, threshold=0.4)
+    q["D5_embedding_neardup"] = d5_emb_neardup
+
     def s1_topk(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.similarity import cosine_topk
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -852,6 +860,17 @@ SELECT i.id_a, i.id_b,
 FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
 JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
+"""
+
+    o["D5_embedding_neardup"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 9) AS cosine FROM p WHERE cosine >= 0.4
 """
 
     o["S1_cosine_topk"] = """

@@ -120,6 +120,38 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
             .filter(F.col("jaccard") >= threshold))
 
 
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        use_lsh: bool = False, **lsh_kwargs) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Brute-force by default (exact; the verification oracle); at corpus scale
+    set use_lsh=True to generate candidates through SRP-LSH buckets first
+    (operators/similarity.py) and verify only those.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = emb.select(F.col(id_col).alias("id_a"), v.alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), v.alias("vb"))
+    if use_lsh:
+        from .similarity import lsh_topk
+        cand = lsh_topk(emb, emb, k=50, id_col=id_col, vec_col=vec_col,
+                        **lsh_kwargs) \
+            .select(F.col("query_id").alias("id_a"),
+                    F.col("neighbor_id").alias("id_b")) \
+            .filter(F.col("id_a") < F.col("id_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (pairs.select("id_a", "id_b",
+                         (dot / (norm_a * norm_b)).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 9).alias("cosine")))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: bit j of the fingerprint is the sign of
