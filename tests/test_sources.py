@@ -43,6 +43,35 @@ def test_ntriples_parser(spark, tmp_path):
     assert allt.count() == len(fixtures.ontology_edges()) + 1
 
 
+def test_ntriples_on_real_vendor_ontologies(spark):
+    """Parse the reference's own vendor RDF files (read-only) with the S6
+    parser: 769 dbpedia + 625 schema subClassOf triples (SURVEY.md §2.1 S6),
+    then close the real taxonomy."""
+    import os
+
+    import pytest as _pytest
+    base = "/root/reference/vendor/dbpedia"
+    if not os.path.exists(f"{base}/dbpedia.nt"):
+        _pytest.skip("vendor files absent")
+    dbp = ntriples.subclass_edges(spark, f"{base}/dbpedia.nt", ns_key="DBPedia")
+    sch = ntriples.subclass_edges(spark, f"{base}/schema.nt", ns_key="Schema")
+    assert dbp.count() == 769
+    assert sch.count() == 625
+
+    from pysemanticcomplexity_spark.ontology import OntologyIndex
+    edges = [(r["child"], r["parent"]) for r in dbp.collect()] + \
+            [(r["child"], r["parent"]) for r in sch.collect()]
+    idx = OntologyIndex(edges)
+    owl_thing = "http://www.w3.org/2002/07/owl#Thing"
+    closure = idx.closure_edges("http://dbpedia.org/ontology/BasketballLeague")
+    assert ("http://dbpedia.org/ontology/BasketballLeague",
+            "http://dbpedia.org/ontology/SportsLeague") in closure
+    # every walk terminates at the virtual root
+    assert any(p == "#AbstractConcept#" for _c, p in closure)
+    # canonicalization on a real class: owl#Thing is unmanaged -> None
+    assert idx.str_to_managed_uri(owl_thing) is None
+
+
 def test_streaming_ingest_available_now(spark, tmp_path):
     from pysemanticcomplexity_spark.streaming.ingest import (
         ingest_pages_available_now)
