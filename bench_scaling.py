@@ -66,10 +66,11 @@ pages = spark.read.parquet(path)
 dims = fixtures.spark_dims(spark)
 pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
                   dims["instance_types"], dims["kb_triples"])
-pipe.run_fused(pages.limit(512), persist_docs=False).triples.count()  # warmup
+pipe.run_fused(pages.limit(512), persist_docs=False,
+               with_features=False).triples.count()  # warmup
 best = None
 for _ in range(2):
-    res = pipe.run_fused(pages, persist_docs=False)
+    res = pipe.run_fused(pages, persist_docs=False, with_features=False)
     t0 = time.time(); n = res.triples.count(); dt = time.time() - t0
     run = {"cpus": cpus, "triples": n, "wall_s": round(dt, 3),
            "triples_per_sec": round(n / dt, 1)}

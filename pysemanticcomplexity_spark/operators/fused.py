@@ -82,7 +82,8 @@ def build_broadcast_state(spark: SparkSession, gazetteer_rows,
 
 
 def _document_kernel(url: str, text: str, matcher: GazetteerMatcher,
-                     onto: OntologyIndex, info_map: Dict[str, tuple]):
+                     onto: OntologyIndex, info_map: Dict[str, tuple],
+                     with_features: bool = True):
     """One document end-to-end: mentions -> graph -> triples + features."""
     paragraphs = process_to_paragraphs(text or "")
     nb_words = sum(count_words(p) for p in paragraphs) if paragraphs else 0
@@ -153,6 +154,8 @@ def _document_kernel(url: str, text: str, matcher: GazetteerMatcher,
             triples.add((uri, PRED_HAS_TYPE, VIRTUAL_ROOT))
             edges.append((uri, VIRTUAL_ROOT))
 
+    if not with_features:        # triples-only runs skip the metric kernel
+        return nb_words, sorted(triples), []
     feats = compute_features(
         node_ids=node_ids,
         is_resource=np.array(is_res, dtype=bool),
@@ -169,8 +172,13 @@ def _document_kernel(url: str, text: str, matcher: GazetteerMatcher,
     return nb_words, sorted(triples), feats
 
 
-def fused_docs(spark: SparkSession, pages: DataFrame, state) -> DataFrame:
-    """pages -> one row per document (url, nb_words, triples, features)."""
+def fused_docs(spark: SparkSession, pages: DataFrame, state,
+               with_features: bool = True) -> DataFrame:
+    """pages -> one row per document (url, nb_words, triples, features).
+
+    with_features=False skips the per-document metric kernel (~55% of the
+    Python cost) for triples-only jobs; the features column is then empty.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = state.value
@@ -181,7 +189,7 @@ def fused_docs(spark: SparkSession, pages: DataFrame, state) -> DataFrame:
             out = {"url": [], "nb_words": [], "triples": [], "features": []}
             for url, text in zip(pdf["url"], pdf["text"]):
                 nb_words, triples, feats = _document_kernel(
-                    url, text, matcher, onto, info_map)
+                    url, text, matcher, onto, info_map, with_features)
                 out["url"].append(url)
                 out["nb_words"].append(nb_words)
                 out["triples"].append(triples)

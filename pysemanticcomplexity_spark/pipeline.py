@@ -105,7 +105,8 @@ class KGPipeline:
                               concept_info=info, resources=resources,
                               triples=triples, nodes=nodes, features=features)
 
-    def run_fused(self, pages: DataFrame, persist_docs: bool = True) -> FusedResult:
+    def run_fused(self, pages: DataFrame, persist_docs: bool = True,
+                  with_features: bool = True) -> FusedResult:
         """Single-pass, shuffle-free pipeline (operators/fused.py): the whole
         pages scan is processed in one mapInPandas with all dimensions
         broadcast; triples/features are cheap projections of the compact
@@ -115,7 +116,8 @@ class KGPipeline:
         state = fused.build_broadcast_state(
             self.spark, self.gazetteer_rows, self.ontology_edge_rows,
             self.instance_types_df, self.kb_triples_df, self.confidence)
-        docs = fused.fused_docs(self.spark, pages, state)
+        docs = fused.fused_docs(self.spark, pages, state,
+                                with_features=with_features)
         if persist_docs:
             docs = docs.persist()
         return FusedResult(docs=docs,
