@@ -6,10 +6,14 @@ row count, column names, and values (exact for non-floats; floats must
 match bitwise after round-tripping, with a report of max abs diff).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+Env:   ORACLE_ANSI=1 runs under a driver-like session (ANSI on, default
+       shuffle partitions) to prove the queries don't depend on our own
+       session config.
 """
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -73,9 +77,19 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
-    from pysemanticcomplexity_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    if os.environ.get("ORACLE_ANSI"):
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("oracle-check-ansi")
+                 .config("spark.sql.ansi.enabled", "true")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from pysemanticcomplexity_spark.session import get_spark
+        spark = get_spark(app_name="oracle-check")
     con = duck_connection(sf_dir)
     qs, os_ = E.queries(), E.oracle_sql()
 
