@@ -396,6 +396,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("long").alias("sum_qty_cents")))
     q["Q2_rollup"] = q2_rollup
 
+    def q3_pivot(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = (li.groupBy("l_returnflag")
+               .pivot("l_linestatus", ["O", "F"]).count())
+        return out.select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"))
+    q["Q3_pivot"] = q3_pivot
+
+    def q4_date_trunc(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        return (e.groupBy(F.date_trunc("day", "ts").alias("day"))
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.countDistinct("user_id").cast("long").alias("n_users")))
+    q["Q4_events_per_day"] = q4_date_trunc
+
     def w3_topn(spark, sf_dir):
         e = _events(spark, sf_dir)
         w = Window.partitionBy("user_id").orderBy(
@@ -823,6 +840,20 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    o["Q3_pivot"] = """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS n_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    o["Q4_events_per_day"] = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY date_trunc('day', ts)
 """
 
     o["W3_topn_per_user"] = """
