@@ -85,8 +85,9 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
+                     # xxhash64 hashes array columns natively (no string cast)
                      F.xxhash64(F.slice("sig", b * rows_per_band + 1,
-                                        rows_per_band).cast("string"))
+                                        rows_per_band))
                      .alias("bucket"))
             for b in range(bands)])).alias("bb")) \
         .select("id", "bb.band", "bb.bucket")

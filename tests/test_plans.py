@@ -36,6 +36,22 @@ def test_closure_join_is_broadcast(spark, dims, pages60_df):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucket_partition_pruning(spark, dims, pages60_df, tmp_path):
+    """The bucketed stage layout must prune partitions at the scan: a
+    bucket-filtered read touches one partition directory only."""
+    from pysemanticcomplexity_spark.sources import tables
+    ann = annotate.annotate_pages(spark, pages60_df, fixtures.gazetteer())
+    mentions, doc_words = annotate.split_mentions(ann)
+    path = str(tmp_path / "concepts")
+    tables.write_table(tables.concepts_nested(mentions, doc_words), path,
+                       n_buckets=8)
+    df = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    plan = plans.executed_plan(df)
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    # pruned scan reads strictly fewer rows than the full table
+    assert df.count() < spark.read.parquet(path).count()
+
+
 def test_textstats_whole_stage_codegen(spark):
     from pysemanticcomplexity_spark.operators import textstats
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
