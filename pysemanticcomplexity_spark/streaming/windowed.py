@@ -1,0 +1,32 @@
+"""Watermarked windowed aggregation over a streaming events source.
+
+The reference has no streaming (SURVEY.md §2.9); this is the engine's
+forward-looking ingestion analytics surface: event-time tumbling windows
+with late-data handling via watermark — e.g. per-window mention/page counts
+while a crawl drains in. Works with any streaming source; tests drive it
+with a file source + Trigger.AvailableNow for determinism.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def windowed_event_counts(stream: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """(window_start, window_end, key, n, value_sum_cents) with late rows
+    beyond the watermark dropped; append-mode compatible."""
+    return (stream
+            # watermarks require TIMESTAMP (parquet often yields TIMESTAMP_NTZ)
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col(key_col).alias("key"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_sum_cents"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "key", "n", "value_sum_cents"))

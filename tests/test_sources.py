@@ -72,6 +72,36 @@ def test_ntriples_on_real_vendor_ontologies(spark):
     assert idx.str_to_managed_uri(owl_thing) is None
 
 
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Watermarked tumbling-window agg over a file stream == batch groupBy."""
+    from pysemanticcomplexity_spark.streaming.windowed import (
+        windowed_event_counts)
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "events_out")
+    chk = str(tmp_path / "events_chk")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (windowed_event_counts(stream, window="1 hour")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["window_start"], r["key"]): (r["n"], r["value_sum_cents"])
+           for r in spark.read.parquet(out).collect()}
+    expected = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in
+                (events.groupBy(F.window("ts", "1 hour").alias("w"),
+                                "event_type")
+                 .agg(F.count("*").alias("n"),
+                      F.sum(F.round(F.col("value") * 100).cast("long"))
+                      .alias("s"))
+                 .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+                 .collect())}
+    assert got == expected and len(got) > 0
+
+
 def test_streaming_ingest_available_now(spark, tmp_path):
     from pysemanticcomplexity_spark.streaming.ingest import (
         ingest_pages_available_now)
