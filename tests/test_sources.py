@@ -91,14 +91,20 @@ def test_streaming_windowed_counts(spark, tmp_path):
 
     got = {(r["window_start"], r["key"]): (r["n"], r["value_sum_cents"])
            for r in spark.read.parquet(out).collect()}
+    # append mode only emits windows the final watermark has passed:
+    # window_end <= max(ts) - 30min (the default watermark delay)
+    import datetime
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(minutes=30)
     expected = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in
                 (events.groupBy(F.window("ts", "1 hour").alias("w"),
                                 "event_type")
                  .agg(F.count("*").alias("n"),
                       F.sum(F.round(F.col("value") * 100).cast("long"))
                       .alias("s"))
-                 .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
-                 .collect())}
+                 .select(F.col("w.start").alias("ws"),
+                         F.col("w.end").alias("we"), "event_type", "n", "s")
+                 .collect()) if r["we"] <= cutoff}
     assert got == expected and len(got) > 0
 
 
