@@ -67,9 +67,13 @@ def link_counts(kb_triples: DataFrame) -> DataFrame:
 
 
 def concept_info(uris: DataFrame, instance_types: DataFrame,
-                 kb_triples: DataFrame, salted: bool = True) -> DataFrame:
+                 kb_triples: DataFrame, salted: bool = False) -> DataFrame:
     """A4 (conceptsEnrichment.py:36-43): every distinct uri gets a row;
-    missing types -> [], missing links -> 0."""
+    missing types -> [], missing links -> 0.
+
+    salted=False by default: partial aggregation absorbs realistic hub
+    skew (BENCH/SKEW.md measurements); enable salting when a hub key's
+    set state may exceed reducer memory."""
     t = types_agg_salted(instance_types) if salted else types_agg(instance_types)
     l = link_counts(kb_triples)
     return (uris
