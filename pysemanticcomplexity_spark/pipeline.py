@@ -100,6 +100,8 @@ class KGPipeline:
         if self.persist_intermediate:
             triples = triples.persist()
         nodes = graph.build_nodes(resources, triples)
+        if self.persist_intermediate:
+            nodes = nodes.persist()
         features = vectorize.vectorize(nodes, triples, doc_words)
         return PipelineResult(mentions=mentions, doc_words=doc_words,
                               concept_info=info, resources=resources,
