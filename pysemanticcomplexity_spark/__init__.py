@@ -53,3 +53,17 @@ FEATURE_COLUMNS = [
 
 PRED_HAS_TYPE = "hasType"
 PRED_SUBCLASS_OF = "subClassOf"
+
+
+def __getattr__(name):
+    # lazy convenience exports (avoid importing pyspark at package import)
+    if name == "KGPipeline":
+        from .pipeline import KGPipeline
+        return KGPipeline
+    if name == "get_spark":
+        from .session import get_spark
+        return get_spark
+    if name == "transform_texts":
+        from .api import transform_texts
+        return transform_texts
+    raise AttributeError(name)
