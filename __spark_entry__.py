@@ -21,6 +21,11 @@ Conventions shared by every (queries, oracle_sql) pair:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
