@@ -9,6 +9,16 @@ url-hash ``bucket``; a ``_lineage`` parquet table records
 input buckets against completed lineage rows and processes only the
 remainder (north_rule: "resumable from checkpoint with per-partition
 lineage + metrics").
+
+Crash-safety contract: the data write and the lineage append are two steps,
+so a crash can land between them. The data write therefore uses **dynamic
+partition overwrite** (only the buckets present in this run's DataFrame are
+replaced; buckets already recorded done are filtered out beforehand and
+never touched) — re-running a not-yet-recorded bucket *replaces* its partial
+output instead of appending a duplicate copy. Lineage row counts come from a
+**partition-pruned** read of only this run's buckets (the pre-write filter
+is on the partition column, so the recount never scans previously completed
+buckets — asserted by a plan test).
 """
 from __future__ import annotations
 
@@ -41,10 +51,28 @@ def completed_buckets(spark, out_dir: str, stage: str):
              .select("bucket").distinct().collect())]
 
 
+def _new_bucket_counts(spark, target: str, done) -> DataFrame:
+    """Per-bucket row counts for buckets NOT in ``done``.
+
+    ``bucket`` is the parquet partition column, so the ``isin`` filter is a
+    PartitionFilter: the scan prunes completed buckets' files entirely (at
+    100 TB this reads only the buckets written by the current run, never the
+    full prior output)."""
+    scan = spark.read.parquet(target)
+    if done:
+        scan = scan.filter(~F.col("bucket").isin(sorted(done)))
+    return scan.groupBy("bucket").agg(F.count("*").alias("rows"))
+
+
 def resumable_write(df: DataFrame, out_dir: str, stage: str,
                     run_id: str = "run", resume: bool = True) -> None:
     """Write ``df`` (must carry an int ``bucket`` column) partitioned by
-    bucket, skipping buckets already recorded as done; append lineage rows."""
+    bucket, skipping buckets already recorded as done; append lineage rows.
+
+    Idempotent per bucket: dynamic partition overwrite means a bucket whose
+    previous attempt crashed before its lineage row landed is rewritten from
+    scratch on resume (no duplicate rows), while ``done`` buckets are
+    excluded from the DataFrame and therefore never overwritten."""
     spark = df.sparkSession
     target = os.path.join(out_dir, stage)
     done = set(completed_buckets(spark, out_dir, stage)) if resume else set()
@@ -53,13 +81,14 @@ def resumable_write(df: DataFrame, out_dir: str, stage: str,
         remaining = df.filter(~F.col("bucket").isin(sorted(done)))
 
     t0 = time.time()
-    (remaining.write.mode("append").partitionBy("bucket").parquet(target))
+    (remaining.write
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite")
+     .partitionBy("bucket")
+     .parquet(target))
     wall_ms = int((time.time() - t0) * 1000)
 
-    written = (spark.read.parquet(target)
-               .groupBy("bucket").agg(F.count("*").alias("rows")))
-    if done:
-        written = written.filter(~F.col("bucket").isin(sorted(done)))
+    written = _new_bucket_counts(spark, target, done)
     lineage_rows = written.select(
         F.lit(run_id).alias("run_id"), F.lit(stage).alias("stage"),
         F.col("bucket").cast("int").alias("bucket"),

@@ -130,7 +130,12 @@ def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
         .groupBy("url", "uri")
         .agg(F.count("*").alias("count"),
              F.max("offset").alias("offset"),
-             F.first("spotlight_types").alias("spotlight_types"))
+             # last-mention-wins for the surface types too (builders.py:61-63
+             # keeps the LAST mention's row): offsets strictly increase in doc
+             # order, so max_by(offset) == last. F.first would be
+             # nondeterministic whenever one URI is matched through surfaces
+             # carrying different type strings.
+             F.max_by("spotlight_types", "offset").alias("spotlight_types"))
         .join(info, "uri", "left")
     )
     merged = F.array_union(
@@ -149,7 +154,8 @@ def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
     )
 
 
-def build_triples(resources: DataFrame, closure: DataFrame) -> DataFrame:
+def build_triples(resources: DataFrame, closure: DataFrame,
+                  strict_edge_dedup: bool = False) -> DataFrame:
     """G3 (builders.py:69-104): hasType edges + broadcast-closure subClassOf
     edges + typeless->root edges.
 
@@ -157,9 +163,19 @@ def build_triples(resources: DataFrame, closure: DataFrame) -> DataFrame:
     are unique by construction (resources are unique per (url, uri) and
     canonical_types is already distinct, P8); typeless rows likewise; the
     three branches cannot collide with each other (different preds / node
-    roles). Only the closure branch produces duplicates (documents whose
-    classes share ancestors), so the distinct is applied there alone —
-    global output is then duplicate-free without a global shuffle.
+    roles) **provided resource URIs and managed class URIs are disjoint** —
+    true for DBpedia resources (``/resource/``) vs ontology classes
+    (``/ontology/`` etc.), and for every fixture. Only the closure branch
+    produces duplicates (documents whose classes share ancestors), so the
+    distinct is applied there alone — global output is then duplicate-free
+    without a global shuffle.
+
+    When the disjointness constraint cannot be assumed (a mention URI that is
+    itself a managed taxonomy class would make the reference's nx.Graph merge
+    the undirected hasType/subClassOf edges into one, first-insert pred
+    winning — builders.py:69-104 inserts hasType edges before closure edges),
+    pass ``strict_edge_dedup=True``: one extra shuffle dedups the union on
+    the undirected (url, node-pair) key with hasType precedence.
     """
     typed = resources.select(
         "url", "uri", F.explode("canonical_types").alias("cls"))
@@ -184,7 +200,16 @@ def build_triples(resources: DataFrame, closure: DataFrame) -> DataFrame:
                         F.lit(PRED_HAS_TYPE).alias("pred"),
                         F.lit(VIRTUAL_ROOT).alias("obj")))
 
-    return has_type.unionByName(sub_class).unionByName(typeless)
+    out = has_type.unionByName(sub_class).unionByName(typeless)
+    if strict_edge_dedup:
+        prec = F.when(F.col("pred") == PRED_HAS_TYPE, 0).otherwise(1)
+        out = (out.groupBy("url", F.least("subj", "obj").alias("_lo"),
+                           F.greatest("subj", "obj").alias("_hi"))
+               .agg(F.min_by(F.struct("subj", "pred", "obj"),
+                             F.struct(prec.alias("p"), F.col("subj").alias("s")))
+                    .alias("e"))
+               .select("url", "e.subj", "e.pred", "e.obj"))
+    return out
 
 
 def build_nodes(resources: DataFrame, triples: DataFrame) -> DataFrame:

@@ -67,6 +67,7 @@ def compute_features(
     adj = np.zeros((n, n), dtype=bool)
     m_edges = 0
     seen = set()
+    self_loops = []               # node indices with a self-loop edge
     for a, b in edges:
         ia, ib = index[a], index[b]
         key = (ia, ib) if ia <= ib else (ib, ia)
@@ -76,6 +77,8 @@ def compute_features(
         m_edges += 1
         if ia != ib:
             adj[ia, ib] = adj[ib, ia] = True
+        else:
+            self_loops.append(ia)
 
     res_mask = is_resource.astype(bool)
     nb_concepts = float(counts[res_mask].sum()) if res_mask.any() else 0.0
@@ -83,15 +86,29 @@ def compute_features(
 
     if n:
         dist = _distance_matrix(adj)
+        if np.isinf(dist).any():
+            # match the oracle/networkx contract (nx.diameter raises on a
+            # disconnected graph) instead of silently propagating inf into
+            # radius/diameter/textDensity. Unreachable from pipeline-built
+            # graphs: every node closes to the virtual root.
+            raise ValueError("graph is disconnected; eccentricity undefined")
         ecc = dist.max(axis=1)
         radius = float(ecc.min())
         diameter = float(ecc.max())
+        # nx.Graph semantics: a self-loop adds 2 to its node's degree
         deg = adj.sum(axis=1).astype(float)
-        # degree assortativity: Pearson r over both orientations of edges
+        for i in self_loops:
+            deg[i] += 2.0
+        # degree assortativity: Pearson r over both orientations of edges;
+        # a self-loop contributes its (deg[u], deg[u]) pair twice, like any
+        # other edge's two orientations (ref_semantics._assortativity)
         if m_edges:
             ii, jj = np.nonzero(np.triu(adj))
-            x = np.concatenate([deg[ii], deg[jj]])
-            y = np.concatenate([deg[jj], deg[ii]])
+            # a self-loop contributes its (deg, deg) pair ONCE (networkx
+            # node_degree_xy semantics), unlike a normal edge's 2 orientations
+            sl = np.array(self_loops, dtype=np.intp)
+            x = np.concatenate([deg[ii], deg[jj], deg[sl]])
+            y = np.concatenate([deg[jj], deg[ii], deg[sl]])
             sx, sy = x.std(), y.std()
             if sx == 0 or sy == 0:
                 assort = float("nan")
@@ -157,6 +174,8 @@ def compute_features(
         if k:
             sub_adj = adj[np.ix_(keep, keep)]
             e_sub = int(np.triu(sub_adj).sum())
+            # self-loop edges whose node is kept count in the subgraph too
+            e_sub += sum(1 for i in self_loops if keep[i])
         else:
             e_sub = 0
         feats.extend([float(k),

@@ -265,11 +265,15 @@ def _assortativity(g: DocGraph) -> float:
     for e in g.edges:
         pair = tuple(e)
         if len(pair) == 1:
-            u = v = pair[0]
+            # nx.node_degree_xy yields a self-loop's (d, d) pair ONCE,
+            # unlike a normal edge's two orientations (verified empirically)
+            u = pair[0]
+            xs.append(deg[u])
+            ys.append(deg[u])
         else:
             u, v = pair
-        xs.extend((deg[u], deg[v]))
-        ys.extend((deg[v], deg[u]))
+            xs.extend((deg[u], deg[v]))
+            ys.extend((deg[v], deg[u]))
     if not xs:
         return float("nan")
     x = np.array(xs, dtype=float)

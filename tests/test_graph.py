@@ -144,3 +144,62 @@ def test_nodes_match_oracle(pipeline_result, oracle60, pages60):
                     assert row["nb_types"] == attrs["nbTypes"]
                     assert row["nb_links_in"] == attrs["nbLinksIn"]
                     assert row["nb_links_out"] == attrs["nbLinksOut"]
+
+
+def test_last_mention_wins_spotlight_types(spark):
+    """resource_concepts must take the LAST mention's surface types
+    (builders.py:61-63 dict((r.uri, r)) keeps the last row) — F.first would
+    be nondeterministic when one URI carries different type strings across
+    gazetteer surfaces."""
+    from pysemanticcomplexity_spark import schemas
+    from pysemanticcomplexity_spark.operators.graph import resource_concepts
+
+    uri = "http://dbpedia.org/resource/X"
+    rows = [
+        ("u1", 10, 3, "x", uri, ["http://dbpedia.org/ontology/A"],
+         0.9, 0.1, 5, 1),
+        ("u1", 10, 7, "the x", uri, ["http://schema.org/B"],
+         0.9, 0.1, 5, 1),
+    ]
+    mentions = spark.createDataFrame(rows, schemas.MENTIONS)
+    info = spark.createDataFrame(
+        [(uri, [], 0, 0)], schemas.CONCEPT_INFO)
+    out = resource_concepts(mentions, info).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["count"] == 2 and r["offset"] == 7
+    # canonical types come from the last mention only (plus empty enrichment)
+    assert r["canonical_types"] == ["http://schema.org/B"]
+
+
+def test_strict_edge_dedup_hastype_precedence(spark):
+    """When a resource URI is itself a managed class, the reference's
+    nx.Graph merges the undirected hasType/subClassOf edges into one with
+    the first-insert pred (hasType). strict_edge_dedup reproduces that."""
+    from pysemanticcomplexity_spark.operators.graph import build_triples
+
+    A = "http://dbpedia.org/ontology/A"
+    B = "http://dbpedia.org/ontology/B"   # also used as a resource URI
+    ROOT = "#AbstractConcept#"
+    resources = spark.createDataFrame(
+        [("u1", B, 1, 0, 0, 0, 0, [A])],
+        "url string, uri string, count long, offset long, nb_types long,"
+        " nb_links_in long, nb_links_out long, canonical_types array<string>")
+    closure = spark.createDataFrame(
+        [(A, A, B), (A, B, ROOT)], "cls string, src string, dst string")
+
+    plain = build_triples(resources, closure).collect()
+    pair_ab = [r for r in plain
+               if {r["subj"], r["obj"]} == {A, B}]
+    assert len(pair_ab) == 2          # hasType + subClassOf both emitted
+
+    strict = build_triples(resources, closure, strict_edge_dedup=True).collect()
+    pair_ab_s = [r for r in strict if {r["subj"], r["obj"]} == {A, B}]
+    assert len(pair_ab_s) == 1
+    assert pair_ab_s[0]["pred"] == "hasType"
+    assert pair_ab_s[0]["subj"] == B and pair_ab_s[0]["obj"] == A
+    # the other edge (B—root) survives untouched
+    assert any({r["subj"], r["obj"]} == {B, ROOT} for r in strict)
+    # strict dedup never drops distinct pairs: same undirected pair set
+    assert {frozenset((r["subj"], r["obj"])) for r in strict} == \
+        {frozenset((r["subj"], r["obj"])) for r in plain}

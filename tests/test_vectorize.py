@@ -146,3 +146,66 @@ def test_df_only_features_match_full(spark, pipeline_result):
             if r["nbNodes"] == 0 and c == "density":
                 continue  # df path has no node rows for empty graphs; both define 1.0
             assert _close(a, b, 1e-9), (r["filename"], c, a, b)
+
+
+def _kernel_vector(g):
+    """Run the numpy kernel on a DocGraph, mirroring vectorize()'s marshal."""
+    from pysemanticcomplexity_spark.operators.vectorize_kernel import compute_features
+    node_ids = list(g.nodes)
+    is_res = np.array([bool(g.nodes[n].get("resource")) for n in node_ids])
+
+    def attr(name):
+        return np.array([float(g.nodes[n][name]) if name in g.nodes[n]
+                         else np.nan for n in node_ids])
+
+    edges = [g.directed[e] for e in g.edges]
+    return compute_features(
+        node_ids, is_res,
+        counts=np.nan_to_num(attr("count")),
+        offsets=attr("offset"),
+        nb_types=attr("nbTypes"),
+        nb_links_in=attr("nbLinksIn"),
+        nb_links_out=attr("nbLinksOut"),
+        edges=edges, nb_words=g.nb_words)
+
+
+def test_self_loop_matches_oracle():
+    """A self-loop (taxonomy C-subClassOf-C or uri==class) adds 2 to its
+    node's degree, counts as an edge for density, and contributes its
+    (deg, deg) pair to assortativity — nx.Graph semantics on both paths."""
+    g = R.DocGraph(nb_words=50)
+    g.add_node("a", resource=True, count=2, offset=5,
+               nbTypes=1, nbLinksIn=0, nbLinksOut=0)
+    g.add_node("b", resource=True, count=1, offset=9,
+               nbTypes=2, nbLinksIn=1, nbLinksOut=1)
+    g.add_edge("a", "a")
+    g.add_edge("a", "b")
+    g.add_edge("b", "#AbstractConcept#")
+    g.add_edge("a", "#AbstractConcept#")
+    ref = R.vectorize_graph(g)
+    got = _kernel_vector(g)
+    for name, a, b in zip(FEATURE_COLUMNS[1:], got, ref):
+        assert _close(a, b), (name, a, b)
+    # cross-check degrees vs networkx (self-loop degree = +2)
+    Gx = nx.Graph()
+    Gx.add_nodes_from(g.nodes)
+    for e in g.edges:
+        pair = tuple(e)
+        Gx.add_edge(pair[0], pair[-1])
+    assert dict(Gx.degree()) == g.degree()
+    a_nx = nx.degree_assortativity_coefficient(Gx)
+    d = dict(zip(FEATURE_COLUMNS[1:], got))
+    assert _close(d["assortativity"], float(a_nx))
+    assert _close(d["density"], float(nx.density(Gx)))
+
+
+def test_disconnected_graph_raises_like_oracle():
+    g = R.DocGraph(nb_words=10)
+    g.add_node("a", resource=True, count=1, offset=1)
+    g.add_node("b", resource=True, count=1, offset=2)
+    g.add_edge("a", "x")
+    g.add_edge("b", "y")          # two components
+    with pytest.raises(ValueError, match="disconnected"):
+        R.vectorize_graph(g)
+    with pytest.raises(ValueError, match="disconnected"):
+        _kernel_vector(g)
