@@ -477,12 +477,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["D2_ngram_jaccard"] = d2_jaccard
 
     def d5_emb_neardup(spark, sf_dir):
-        from pysemanticcomplexity_spark.operators.dedup import embedding_near_dups
+        from pysemanticcomplexity_spark.operators.dedup import (
+            embedding_near_dups_bruteforce)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         # testdata embeddings are random gaussians (max pairwise cosine
-        # ~0.51 at sf0.01); 0.4 exercises the operator with non-empty output
-        return embedding_near_dups(emb, threshold=0.4)
+        # ~0.51 at sf0.01); 0.4 exercises the exact operator with non-empty
+        # output. The scale path (LSH default) is oracle-checked separately
+        # by D5b_lsh_neardup on planted colinear duplicates.
+        return embedding_near_dups_bruteforce(emb, threshold=0.4)
     q["D5_embedding_neardup"] = d5_emb_neardup
+
+    def d5b_lsh_neardup(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.dedup import embedding_near_dups
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # plant exact-direction duplicates: ids < 30 re-enter scaled by
+        # 2x under id+100000 (x*2 is exact in float32, so the planted values
+        # are bit-identical across engines). Colinear vectors project to the
+        # same sign on EVERY hyperplane, so the LSH default path has recall
+        # 1.0 on them by construction and the brute-force SQL oracle agrees.
+        dup = emb.filter(F.col("vec_id") < 30).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0).cast("float"))
+            .alias("embedding"))
+        planted = emb.select("vec_id", "embedding").unionByName(dup)
+        return embedding_near_dups(planted, threshold=0.99)
+    q["D5b_lsh_neardup"] = d5b_lsh_neardup
 
     def s1_topk(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.similarity import cosine_topk
@@ -554,17 +573,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["KG_pipeline_triples_fused"] = kg_triples_fused
 
     def d3_minhash(spark, sf_dir):
+        # portable-hash variant of the full minhash-LSH pipeline so DuckDB
+        # can replicate it bucket-for-bucket (the xxhash64 production default
+        # is covered by the recall-vs-exact pytest in tests/test_dedup.py)
         from pysemanticcomplexity_spark.operators import dedup
         d = _docs(spark, sf_dir)
         sh = dedup.shingles(d)
-        sigs = dedup.minhash_signatures(sh, num_hashes=32)
-        return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32)
+        sigs = dedup.minhash_signatures(sh, num_hashes=32, hash_fn="poly")
+        return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32,
+                                         hash_fn="poly")
     q["D3_minhash_lsh"] = d3_minhash
 
     def d4_simhash(spark, sf_dir):
         from pysemanticcomplexity_spark.operators import dedup
-        fps = dedup.simhash(_docs(spark, sf_dir))
-        return dedup.simhash_candidate_pairs(fps, max_hamming=3)
+        fps = dedup.simhash(_docs(spark, sf_dir), hash_fn="poly", n_bits=32)
+        return (dedup.simhash_candidate_pairs(fps, max_hamming=3, n_bits=32)
+                .select("id_a", "id_b",
+                        F.col("hamming").cast("long").alias("hamming")))
     q["D4_simhash"] = d4_simhash
 
     def s2_lsh(spark, sf_dir):
@@ -909,6 +934,27 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 SELECT id_a, id_b, round(cosine, 9) AS cosine FROM p WHERE cosine >= 0.4
 """
 
+    # brute-force ground truth for the LSH default path on planted colinear
+    # duplicates (recall is 1.0 by construction: colinear vectors share every
+    # SRP bucket, so brute force == LSH-then-verify at this threshold)
+    o["D5b_lsh_neardup"] = """
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+         AS embedding
+  FROM embeddings WHERE vec_id < 30),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM planted),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 9) AS cosine FROM p WHERE cosine >= 0.99
+"""
+
     o["S1_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS qid,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -990,7 +1036,127 @@ SELECT doc_id,
 FROM documents
 """
 
-    # KG_pipeline_triples / KG_pipeline_features / D3_minhash_lsh /
-    # D4_simhash / S2_lsh_topk: intentionally omitted (non-SQL-expressible:
-    # gazetteer longest-match annotation, xxhash64-based sketches, SRP-LSH).
+    # ---- sketch-family oracles (generated SQL sharing the Spark constants)
+    from pysemanticcomplexity_spark.operators.dedup import (
+        POLY_MOD, minhash_seeds, simhash_bit_seeds)
+    from pysemanticcomplexity_spark.operators.similarity import srp_planes
+
+    poly_fold = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 "list_transform(str_split({col}, ''), "
+                 "c -> CAST(ascii(c) AS BIGINT))), "
+                 f"(a, b) -> (a * 31 + b) % {POLY_MOD})")
+
+    # D3: full minhash-LSH pipeline, portable polynomial hash family
+    num_h, bands, rpb = 32, 8, 4
+    mins = ",\n       ".join(
+        f"min((h * {a} + {b}) % {POLY_MOD}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_seeds(num_h)))
+
+    def _band_fold(b):
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(rpb):
+            expr = f"(({expr} * 31 + h{b * rpb + r}) % {POLY_MOD})"
+        return f"{expr} AS bkt{b}"
+
+    bkts = ",\n       ".join(_band_fold(b) for b in range(bands))
+    band_case = " ".join(f"WHEN {b} THEN bkt{b}" for b in range(bands))
+    band_vals = ", ".join(f"({b})" for b in range(bands))
+    o["D3_minhash_lsh"] = rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         str_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3),
+hb AS (
+  SELECT id, {poly_fold.format(col='shingle')} AS h
+  FROM sh WHERE length(shingle) > 0),
+sig AS (SELECT id, {mins} FROM hb GROUP BY id),
+sigb AS (SELECT id, {bkts} FROM sig),
+bb AS (
+  SELECT id, v.band, CASE v.band {band_case} END AS bucket
+  FROM sigb, (VALUES {band_vals}) v(band))
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+    # D4: 32-bit portable simhash + pigeonhole block join
+    nb = 32
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN ((h * {c} + {d}) % {POLY_MOD}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j, (c, d) in enumerate(simhash_bit_seeds(nb)))
+    fp_expr = "\n         + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(nb))
+    o["D4_simhash"] = rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(str_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                          ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT id, {poly_fold.format(col='tok')} AS h
+  FROM toks WHERE length(tok) > 0),
+bs AS (SELECT id, {bit_sums} FROM th GROUP BY id),
+fp AS (SELECT id, {fp_expr} AS fingerprint FROM bs),
+blocks AS (
+  SELECT id, fingerprint, v.blk, (fingerprint >> (8 * v.blk)) & 255 AS val
+  FROM fp, (VALUES (0), (1), (2), (3)) v(blk)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.fingerprint AS fa, b.fingerprint AS fb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+    # S2: SRP-LSH top-k — the seeded hyperplanes are inlined as literal
+    # arrays (same numpy seed as the Spark pandas-UDF path), so DuckDB
+    # reproduces buckets, candidate sets, and ranks exactly
+    planes = srp_planes(dim=64, n_tables=8, n_bits=10, seed=42)
+    n_tables, n_bits = planes.shape[0], planes.shape[1]
+
+    def _lit_arr(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    tbl_bkts = ",\n       ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_lit_arr(planes[t, b])}) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(n_bits)) + f") AS bkt{t}"
+        for t in range(n_tables))
+    tbl_case = " ".join(f"WHEN {t} THEN bkt{t}" for t in range(n_tables))
+    tbl_vals = ", ".join(f"({t})" for t in range(n_tables))
+    o["S2_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+h AS (SELECT vec_id, v, {tbl_bkts} FROM e),
+x AS (SELECT vec_id, v, tv.tbl, CASE tv.tbl {tbl_case} END AS bucket
+      FROM h, (VALUES {tbl_vals}) tv(tbl)),
+q AS (SELECT * FROM x WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.v AS cv, q.v AS qv
+  FROM x c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id != q.vec_id),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+             AS sim
+      FROM cand),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+    # KG_pipeline_triples / KG_pipeline_features: intentionally omitted
+    # (non-SQL-expressible: gazetteer longest-match annotation + per-document
+    # graph BFS metrics).
     return o

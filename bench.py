@@ -64,7 +64,8 @@ def main():
     for name in ["S7_mentions_sql", "G3_triples_sql_model", "M_graph_density",
                  "Q1_lineitem_agg", "J1_join_nation_revenue", "W1_running_sum",
                  "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh",
-                 "D4_simhash", "S1_cosine_topk", "T2_quality_score",
+                 "D4_simhash", "S1_cosine_topk", "S2_lsh_topk",
+                 "D5b_lsh_neardup", "T2_quality_score",
                  "T3_fingerprint"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -13,16 +13,48 @@ web-corpus dedup family, each built scale-first:
                  (the verification stage after LSH candidate generation);
 * embedding cosine — see operators/similarity.py.
 
-All hashing uses xxhash64 (JVM-side, deterministic across runs/executors).
+All hashing uses xxhash64 (JVM-side, deterministic across runs/executors) by
+default. The sketch operators also accept ``hash_fn="poly"`` — a polynomial
+mod-1e9+7 hash family computed from pure integer expressions that DuckDB can
+replicate verbatim, making the full LSH pipelines cross-engine hash-checkable
+(the ``T3_fingerprint`` portability trick applied to the sketch family).
+xxhash64 stays the production default (single JVM intrinsic vs a fold over
+characters).
 """
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# engine-portable polynomial hash family: poly(s) folds (acc*31 + ascii) mod
+# POLY_MOD; seed i maps h -> (A_i*h + B_i) mod POLY_MOD. All intermediates
+# stay far inside int64 in both Spark and DuckDB.
+POLY_MOD = 1_000_000_007
+
+
+def minhash_seeds(num_hashes: int):
+    """Deterministic (A_i, B_i) affine-seed pairs shared with the SQL oracle."""
+    return [(1_000_003 * i + 17, (998_244_353 * (i + 1)) % POLY_MOD)
+            for i in range(num_hashes)]
+
+
+def simhash_bit_seeds(n_bits: int):
+    """Deterministic per-bit (C_j, D_j) pairs for the portable simhash."""
+    return [(2_000_029 * j + 101, (777_767_777 * (j + 1)) % POLY_MOD)
+            for j in range(n_bits)]
+
+
+def poly_hash_expr(col) -> F.Column:
+    """fold(acc*31 + ascii(ch)) mod POLY_MOD over the string's characters —
+    identical integer sequence in Spark and DuckDB (textstats.py:73-82)."""
+    chars = F.split(col, "")
+    return F.aggregate(chars, F.lit(0).cast("long"),
+                       lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_MOD)
+
 __all__ = ["normalize_text", "exact_dedup", "shingles", "minhash_signatures",
            "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash",
-           "simhash_candidate_pairs"]
+           "simhash_candidate_pairs", "embedding_near_dups",
+           "embedding_near_dups_bruteforce"]
 
 
 def normalize_text(col) -> F.Column:
@@ -58,37 +90,59 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.length("shingle") > 0))
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """(id, sig array<long>): sig[i] = min over shingles of xxhash64(shingle, i).
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, sig array<long>): sig[i] = min over shingles of hash_i(shingle).
 
     Implemented as one groupBy with ``min`` aggregates over seeded hashes —
     partial aggregation keeps the shuffle at one row per doc.
+
+    ``hash_fn='poly'`` hashes each shingle once with the portable polynomial
+    hash and derives the i-th family member affinely ((A_i*h + B_i) mod p) —
+    bit-identical in DuckDB, so the whole minhash-LSH pipeline becomes
+    oracle-checkable.
     """
-    hashes = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-              for i in range(num_hashes)]
-    agg = sh.groupBy("id").agg(*hashes)
+    if hash_fn == "xxhash64":
+        hashes = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                  for i in range(num_hashes)]
+        agg = sh.groupBy("id").agg(*hashes)
+    elif hash_fn == "poly":
+        base = sh.withColumn("h", poly_hash_expr(F.col("shingle")))
+        hashes = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(POLY_MOD))
+                  .alias(f"h{i}")
+                  for i, (a, b) in enumerate(minhash_seeds(num_hashes))]
+        agg = base.groupBy("id").agg(*hashes)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
-                        sig_len: int = None) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, *,
+                        sig_len: int, hash_fn: str = "xxhash64") -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
     on all rows of any band become candidate pairs (id_a < id_b).
 
-    Pass sig_len (= num_hashes) to avoid a schema-probe job; it is only
-    inferred with an extra action when omitted."""
-    if sig_len is None:
-        sig_len = len(sigs.select("sig").first()["sig"])
+    ``sig_len`` (= num_hashes used for the signatures) is required: inferring
+    it would take a driver-side schema-probe action over the corpus.
+    ``hash_fn='poly'`` folds the band's signature values mod 1e9+7 instead of
+    xxhash64-ing the slice (engine-portable band buckets)."""
     rows_per_band = sig_len // bands
+
+    def band_bucket(b):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "xxhash64":
+            # xxhash64 hashes array columns natively (no string cast)
+            return F.xxhash64(sl)
+        if hash_fn == "poly":
+            return F.aggregate(sl, F.lit(0).cast("long"),
+                               lambda acc, v: (acc * 31 + v) % POLY_MOD)
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     buckets = sigs.select(
         "id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     # xxhash64 hashes array columns natively (no string cast)
-                     F.xxhash64(F.slice("sig", b * rows_per_band + 1,
-                                        rows_per_band))
-                     .alias("bucket"))
+            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(bands)])).alias("bb")) \
         .select("id", "bb.band", "bb.bucket")
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -123,20 +177,31 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        use_lsh: bool = False, **lsh_kwargs) -> DataFrame:
+                        method: str = "lsh", candidates_k: int = 50,
+                        **lsh_kwargs) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Brute-force by default (exact; the verification oracle); at corpus scale
-    set use_lsh=True to generate candidates through SRP-LSH buckets first
-    (operators/similarity.py) and verify only those.
+    The default path is scale-safe: SRP-LSH buckets generate candidate pairs
+    (operators/similarity.py — queries and corpus only ever meet inside a
+    shared hash bucket), then exact cosine verifies each candidate. Shuffle
+    cost is O(docs x tables), never O(docs^2). True near-duplicates
+    (cosine -> 1) land in the same bucket in every table, so recall at
+    dedup-grade thresholds is ~1; it decays for low thresholds, where LSH
+    candidate generation is the wrong tool anyway.
+
+    ``method='bruteforce'`` (or :func:`embedding_near_dups_bruteforce`) is
+    the exact all-pairs crossJoin — the verification oracle for tests and
+    small fixtures, never the corpus-scale default.
     """
+    if method not in ("lsh", "bruteforce"):
+        raise ValueError(f"method must be 'lsh' or 'bruteforce', got {method!r}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     a = emb.select(F.col(id_col).alias("id_a"), v.alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), v.alias("vb"))
-    if use_lsh:
+    if method == "lsh":
         from .similarity import lsh_topk
-        cand = lsh_topk(emb, emb, k=50, id_col=id_col, vec_col=vec_col,
-                        **lsh_kwargs) \
+        cand = lsh_topk(emb, emb, k=candidates_k, id_col=id_col,
+                        vec_col=vec_col, **lsh_kwargs) \
             .select(F.col("query_id").alias("id_a"),
                     F.col("neighbor_id").alias("id_b")) \
             .filter(F.col("id_a") < F.col("id_b"))
@@ -153,40 +218,65 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
             .select("id_a", "id_b", F.round("cosine", 9).alias("cosine")))
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over tokens: bit j of the fingerprint is the sign of
-    Σ_token (+1 if bit j of xxhash64(token) else -1).
+def embedding_near_dups_bruteforce(emb: DataFrame, threshold: float = 0.95,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine near-dups — O(N^2); the verification oracle."""
+    return embedding_near_dups(emb, threshold, id_col, vec_col,
+                               method="bruteforce")
 
-    Pure JVM expressions: explode tokens, per-bit contribution via shiftright
-    + sum, reassemble. One shuffle (groupBy id)."""
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", hash_fn: str = "xxhash64",
+            n_bits: int = 64) -> DataFrame:
+    """n_bits SimHash over tokens: bit j of the fingerprint is the sign of
+    Σ_token (+1 if bit_j(token) else -1).
+
+    Pure JVM expressions: explode tokens, per-bit contribution via sum,
+    reassemble. One shuffle (groupBy id). ``hash_fn='xxhash64'`` takes bit j
+    of one 64-bit hash (production default, n_bits<=64); ``hash_fn='poly'``
+    derives bit j as (C_j*poly(token)+D_j) mod p mod 2 — engine-portable, so
+    the DuckDB oracle reproduces the fingerprints bit-for-bit (use a smaller
+    n_bits like 32 to keep the generated SQL reasonable)."""
     toks = (docs.select(F.col(id_col).alias("id"),
                         F.explode(F.split(normalize_text(F.col(text_col)), " "))
                         .alias("tok"))
-            .filter(F.length("tok") > 0)
-            .withColumn("h", F.xxhash64("tok")))
+            .filter(F.length("tok") > 0))
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit = [F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1
+               for j in range(n_bits)]
+    elif hash_fn == "poly":
+        toks = toks.withColumn("h", poly_hash_expr(F.col("tok")))
+        bit = [((F.lit(c) * F.col("h") + F.lit(d)) % F.lit(POLY_MOD))
+               % F.lit(2) == 1
+               for c, d in simhash_bit_seeds(n_bits)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_sums = toks.groupBy("id").agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"b{j}")
-        for j in range(64)])
+        F.sum(F.when(bit[j], 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(n_bits)])
     fp = None
-    for j in range(64):
-        bit = F.when(F.col(f"b{j}") > 0,
-                     F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseXOR(bit)
+    for j in range(n_bits):
+        b = F.when(F.col(f"b{j}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        fp = b if fp is None else fp.bitwiseXOR(b)
     return bit_sums.select("id", fp.alias("fingerprint"))
 
 
-def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Split the 64-bit fingerprint into 4 16-bit blocks; by pigeonhole any
-    pair within Hamming distance 3 agrees on >= 1 block, so the self-join is
-    bucketed by (block_idx, block_value), never all-pairs."""
+def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
+                            n_bits: int = 64) -> DataFrame:
+    """Split the fingerprint into 4 blocks; by pigeonhole any pair within
+    Hamming distance 3 agrees on >= 1 block, so the self-join is bucketed by
+    (block_idx, block_value), never all-pairs."""
+    block_bits = n_bits // 4
+    mask = (1 << block_bits) - 1
     blocks = fps.select(
         "id", "fingerprint",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("blk"),
-                     F.shiftright("fingerprint", 16 * k)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                     F.shiftright("fingerprint", block_bits * k)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
             for k in range(4)])).alias("b")) \
         .select("id", "fingerprint", "b.blk", "b.val")
     a = blocks.select(F.col("id").alias("id_a"),

@@ -14,10 +14,11 @@ precision for 64-dim vectors).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["cosine_topk", "lsh_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "srp_planes"]
 
 
 def _dot(a, b) -> F.Column:
@@ -51,6 +52,39 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def srp_planes(dim: int, n_tables: int, n_bits: int,
+               seed: int = 42) -> np.ndarray:
+    """Seeded random hyperplanes, shape (n_tables, n_bits, dim)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, n_bits, dim)
+
+
+def _srp_bucket_udf(planes: np.ndarray):
+    """Arrow-batched bucket computation: ONE BLAS matmul per batch.
+
+    ``(batch x dim) @ (dim x n_tables*n_bits)`` then sign-pack each table's
+    bits into a long — ~5,000x fewer interpreted ops than evaluating the
+    per-plane dot products as Catalyst higher-order-function lambdas (the
+    previous implementation built a ~5,000-node expression tree computing
+    n_tables*n_bits*dim multiply-adds per row in the interpreter). The plane
+    matrix ships once inside the serialized UDF closure (~40 KB), i.e. a
+    broadcast."""
+    n_tables, n_bits, dim = planes.shape
+    flat = np.ascontiguousarray(planes.reshape(n_tables * n_bits, dim).T)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ flat >= 0).astype(np.int64)
+        packed = bits.reshape(len(vecs), n_tables, n_bits) @ weights
+        return pd.Series(list(packed))
+
+    return buckets
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_tables: int = 8, n_bits: int = 10,
@@ -59,30 +93,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Each table hashes a vector to an ``n_bits`` sign pattern; a query only
     scores corpus vectors sharing a bucket in >= 1 table. Recall rises with
-    ``n_tables``; cost stays ~bucket-sized. Hyperplanes are a seeded,
-    broadcast-inlined literal matrix (deterministic)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_tables, n_bits, dim)
-
-    def bucket_expr(vec):
-        table_hashes = []
-        for t in range(n_tables):
-            bits = None
-            for b in range(n_bits):
-                coeffs = F.array(*[F.lit(float(planes[t, b, d])) for d in range(dim)])
-                proj = F.aggregate(F.zip_with(vec, coeffs, lambda x, y: x * y),
-                                   F.lit(0.0), lambda acc, v: acc + v)
-                bit = F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-                bits = bit if bits is None else bits + bit
-            table_hashes.append(F.struct(F.lit(t).alias("table"),
-                                         bits.alias("bucket")))
-        return F.array(*table_hashes)
+    ``n_tables``; cost stays ~bucket-sized. Hyperplanes are seeded and
+    deterministic; buckets are computed by a vectorized pandas UDF (one
+    matmul per Arrow batch — the 100 TB hash path)."""
+    planes = srp_planes(dim, n_tables, n_bits, seed)
+    bucket_udf = _srp_bucket_udf(planes)
 
     def prep(df, out_id):
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         return (df.select(F.col(id_col).alias(out_id), v.alias("v"))
-                .withColumn("tb", F.explode(bucket_expr(F.col("v"))))
-                .select(out_id, "v", "tb.table", "tb.bucket"))
+                .select(out_id, "v",
+                        F.posexplode(bucket_udf("v")).alias("table", "bucket")))
 
     c = prep(corpus, "neighbor_id").withColumnRenamed("v", "cvec")
     q = prep(queries, "query_id").withColumnRenamed("v", "qvec")

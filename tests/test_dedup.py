@@ -108,3 +108,59 @@ def test_minhash_recall_vs_exact(spark):
     assert truth, "fixture should contain similar pairs"
     recall = len(truth & cand) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_embedding_near_dups_lsh_default_superset_of_bruteforce(spark):
+    """The scale-safe LSH default must find every brute-force pair at
+    dedup-grade thresholds: colinear/planted duplicates share every SRP
+    bucket, so candidate generation cannot miss them."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    for i in range(20):                 # plant exact-direction duplicates
+        vecs[i + 40] = vecs[i] * 1.5
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_near_dups_bruteforce(df, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_near_dups(df, threshold=0.99, dim=16).collect()}
+    assert len(brute) == 20
+    assert lsh >= brute                 # no missed duplicates
+    assert lsh == brute                 # and exact verification kills noise
+
+
+def test_embedding_near_dups_rejects_unknown_method(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="method"):
+        dedup.embedding_near_dups(df, method="nope")
+
+
+def test_portable_minhash_matches_xxhash_pairs_on_dups(spark):
+    """hash_fn='poly' is a different hash family but identical LSH
+    semantics: exact duplicate docs must collide in every band under both."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string")
+    sh = dedup.shingles(docs)
+    for fn in ("xxhash64", "poly"):
+        sigs = dedup.minhash_signatures(sh, num_hashes=32, hash_fn=fn)
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32,
+                                           hash_fn=fn).collect()}
+        assert pairs == {(1, 2)}, fn
+
+
+def test_portable_simhash_identical_docs_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  beta gamma"),
+         (3, "omega psi chi unrelated")],
+        "doc_id long, text string")
+    fps = dedup.simhash(docs, hash_fn="poly", n_bits=32)
+    pairs = dedup.simhash_candidate_pairs(fps, max_hamming=0, n_bits=32)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0       # whitespace-normalized equal docs

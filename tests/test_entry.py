@@ -31,8 +31,7 @@ def test_every_oracle_key_has_query():
     # non-SQL ops are the only omissions
     rows_only = set(qs) - set(os_)
     assert rows_only == {"KG_pipeline_triples", "KG_pipeline_features",
-                         "KG_pipeline_triples_fused",
-                         "D3_minhash_lsh", "D4_simhash", "S2_lsh_topk"}
+                         "KG_pipeline_triples_fused"}
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
@@ -49,5 +48,5 @@ def test_oracle_subset_matches(spark, name):
 
 def test_rows_only_queries_run(spark):
     qs = E.queries()
-    for name in ["D3_minhash_lsh", "D4_simhash", "S2_lsh_topk"]:
+    for name in ["KG_pipeline_triples_fused"]:
         assert qs[name](spark, SF_DIR).count() >= 0, name
