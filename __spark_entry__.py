@@ -532,6 +532,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_docs(spark, sf_dir))
     q["T3_fingerprint"] = t3_fp
 
+    def l1_ttr(spark, sf_dir):
+        # token-only subset of the reference's lexical pipeline
+        # (parsers/lexical/stanford.py:96-135; POS-dependent and
+        # unseeded-random features excluded by design — see operators/lexical)
+        from pysemanticcomplexity_spark.operators.lexical import lexical_features
+        lf = lexical_features(_docs(spark, sf_dir))
+        return lf.select(
+            "id", "wordtokens", "wordtypes", "ndw", "ndwz",
+            *[F.round(c, 9).alias(c)
+              for c in ["ttr", "msttr", "cttr", "rttr", "logttr", "uber"]])
+    q["L1_ttr_features"] = l1_ttr
+
     def mm1_meta(spark, sf_dir):
         d = _docs(spark, sf_dir)
         return d.select(
@@ -540,6 +552,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("n_bytes"),
             F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_byte"))
     q["MM1_binary_meta"] = mm1_meta
+
+    def mm2_image_decode(spark, sf_dir):
+        # REAL numpy PPM decode over deterministic synthetic payloads: byte
+        # j of doc d's 3x2 RGB image is (d*7 + j*31) % 256, so DuckDB can
+        # derive the expected geometry/channel statistics from doc_id alone
+        from pysemanticcomplexity_spark.operators.multimodal import decode_images
+
+        def _make(ids):
+            header = b"P6\n3 2\n255\n"
+            return ids.map(lambda d: header + bytes(
+                (int(d) * 7 + j * 31) % 256 for j in range(18)))
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and pandas_udf can't resolve names local to this closure
+        make_ppm = F.pandas_udf(_make, "binary")
+
+        imgs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), make_ppm("doc_id").alias("payload"))
+        dec = decode_images(imgs)            # fake NOT set: real decode path
+        return dec.select(
+            "id", F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+            F.col("channels").cast("long").alias("channels"),
+            *[F.round(F.get("features", i).cast("double"), 4).alias(f"f{i}")
+              for i in range(8)])
+    q["MM2_image_decode"] = mm2_image_decode
 
     # ---- rows-only entries (non-SQL-expressible; weaker driver check) -----
     def kg_triples_full(spark, sf_dir):
@@ -1034,6 +1072,66 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
 FROM documents
+"""
+
+    # expected channel statistics of the synthetic 3x2 PPM whose pixel byte
+    # j is (doc_id*7 + j*31) % 256 (see queries()['MM2_image_decode'])
+    def _chan(c):
+        elems = [f"p[{c + 3 * r + 1}]" for r in range(6)]
+        mean = "(" + " + ".join(elems) + ") / 6.0"
+        sq = "(" + " + ".join(f"{e}*{e}" for e in elems) + ") / 6.0"
+        return mean, sq
+
+    chan_cols = []
+    for c in range(3):
+        mean, sq = _chan(c)
+        chan_cols.append(f"round(({mean}) / 255.0, 4) AS f{c}")
+        chan_cols.append(
+            f"round(sqrt(({sq}) - ({mean}) * ({mean})) / 255.0, 4) AS f{c + 3}")
+    o["MM2_image_decode"] = f"""
+WITH px AS (
+  SELECT doc_id AS id,
+         list_transform(generate_series(0, 17),
+                        j -> CAST((doc_id * 7 + j * 31) % 256 AS DOUBLE)) AS p
+  FROM documents)
+SELECT id, CAST(2 AS BIGINT) AS height, CAST(3 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS channels,
+       {", ".join(chan_cols[:2])}, {", ".join(chan_cols[2:4])},
+       {", ".join(chan_cols[4:])},
+       round(2.0 / 3.0, 4) AS f6,
+       round(list_avg(p) / 255.0, 4) AS f7
+FROM px
+"""
+
+    o["L1_ttr_features"] = f"""
+WITH t AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents),
+b AS (
+  SELECT id, t, len(t) AS n, len(list_distinct(t)) AS types,
+         CAST(floor(len(t) / 50.0) AS BIGINT) AS blocks
+  FROM t),
+m AS (
+  SELECT id, n, types,
+         CASE WHEN n >= 50 THEN len(list_distinct(t[1:50]))
+              ELSE types END AS ndwz,
+         CASE WHEN n >= 50 THEN
+                list_sum(list_transform(generate_series(0, blocks - 1),
+                    bb -> len(list_distinct(t[bb*50+1 : bb*50+50])) / 50.0))
+                / blocks
+              WHEN n > 0 THEN CAST(types AS DOUBLE) / n END AS msttr
+  FROM b)
+SELECT id, CAST(n AS BIGINT) AS wordtokens, CAST(types AS BIGINT) AS wordtypes,
+       CAST(types AS BIGINT) AS ndw, CAST(ndwz AS BIGINT) AS ndwz,
+       round(CASE WHEN n > 0 THEN CAST(types AS DOUBLE) / n END, 9) AS ttr,
+       round(msttr, 9) AS msttr,
+       round(CASE WHEN n > 0 THEN types / sqrt(2.0 * n) END, 9) AS cttr,
+       round(CASE WHEN n > 0 THEN types / sqrt(CAST(n AS DOUBLE)) END, 9) AS rttr,
+       round(CASE WHEN n > 1 THEN ln(CAST(types AS DOUBLE)) / ln(CAST(n AS DOUBLE)) END, 9) AS logttr,
+       round(CASE WHEN n > 1 AND types < n
+                  THEN (log10(CAST(n AS DOUBLE)) * log10(CAST(n AS DOUBLE)))
+                       / log10(CAST(n AS DOUBLE) / types) END, 9) AS uber
+FROM m
 """
 
     # ---- sketch-family oracles (generated SQL sharing the Spark constants)

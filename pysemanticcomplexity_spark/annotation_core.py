@@ -43,11 +43,35 @@ Mention = Tuple[int, str, str, List[str], float, float, int, int]
 
 
 class GazetteerMatcher:
-    """Longest-match gazetteer annotator over one paragraph at a time."""
+    """Longest-match gazetteer annotator over one paragraph at a time.
 
-    def __init__(self, rows, confidence: float = 0.5):
+    Besides ``confidence``, the reference's ``annotate()`` forwards
+    ``support``, ``types`` and ``policy`` to Spotlight
+    (dbpediaClients.py:34-51); they are re-specified locally:
+
+    * ``support``: candidates whose gazetteer support is below the threshold
+      are dropped before disambiguation (Spotlight's Lucene-prominence
+      filter);
+    * ``types`` + ``policy``: with ``policy='whitelist'`` only candidates
+      carrying at least one of the given type strings survive; with
+      ``'blacklist'`` only candidates carrying none (dbpediaClients.py:43-45).
+
+    Filtering is applied to the candidate set; similarity scores stay
+    normalized over the surface's FULL candidate set (the priors are a
+    property of the surface, not of the filter), and the confidence check
+    applies to the best *surviving* candidate.
+    """
+
+    def __init__(self, rows, confidence: float = 0.5, support: int = None,
+                 types: List[str] = None, policy: str = "whitelist"):
         """rows: iterable of (surface, uri, support, prior, spotlight_types_csv)."""
+        if policy not in ("whitelist", "blacklist"):
+            raise ValueError(f"policy must be 'whitelist' or 'blacklist', "
+                             f"got {policy!r}")
         self.confidence = confidence
+        self.support = support
+        self.types = set(types) if types else None
+        self.policy = policy
         index: Dict[str, List[Tuple[str, int, float, str]]] = {}
         max_len = 1
         for surface, uri, support, prior, types_csv in rows:
@@ -67,10 +91,30 @@ class GazetteerMatcher:
             )
             self._scored[key] = scored
 
+    def _passes_filters(self, support: int, types_csv: str) -> bool:
+        if self.support is not None and support < self.support:
+            return False
+        if self.types is not None:
+            cand_types = set(types_csv.split(",")) if types_csv else set()
+            has_match = bool(cand_types & self.types)
+            if self.policy == "whitelist" and not has_match:
+                return False
+            if self.policy == "blacklist" and has_match:
+                return False
+        return True
+
+    def _surviving(self, key: str):
+        scored = self._scored[key]
+        if self.support is None and self.types is None:
+            return scored
+        return [c for c in scored if self._passes_filters(c[2], c[3])]
+
     def annotate(self, paragraph: str) -> Iterator[Mention]:
         """Yield best-candidate mentions, in paragraph order."""
         for offset, surface, key in self._match_spans(paragraph):
-            scored = self._scored[key]
+            scored = self._surviving(key)
+            if not scored:
+                continue
             best_sim, best_uri, best_support, best_types, _ = scored[0]
             if best_sim < self.confidence:
                 continue
@@ -83,7 +127,9 @@ class GazetteerMatcher:
         """Yield *all* candidates per matched span (for the explicit
         groupBy(url, mention).applyInPandas disambiguation stage)."""
         for offset, surface, key in self._match_spans(paragraph):
-            scored = self._scored[key]
+            scored = self._surviving(key)
+            if not scored:
+                continue
             psr = (scored[1][0] / scored[0][0]) if len(scored) > 1 else 0.0
             for sim, uri, support, types_csv, _ in scored:
                 types = types_csv.split(",") if types_csv else []

@@ -28,12 +28,46 @@ def _spark(args):
     return get_spark(app_name=f"pysemcom-{args.cmd}"), preexisting
 
 
-def _pipeline(spark):
+class DimensionError(SystemExit):
+    """Loud failure: a required dimension was neither provided nor
+    explicitly requested as fixture data."""
+
+
+def _dims(spark, args, *needed):
+    """Resolve the dimension tables a subcommand needs.
+
+    Real runs pass parquet paths (--gazetteer/--ontology/--instance-types/
+    --kb); test/demo runs opt in explicitly with --fixtures. Silently
+    substituting fixture data for a missing path would hand a real user
+    synthetic gazetteers/KBs — fail loudly instead."""
     from . import fixtures
-    from .pipeline import KGPipeline
-    dims = fixtures.spark_dims(spark)
-    return KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
-                      dims["instance_types"], dims["kb_triples"])
+    out = {}
+    for name in needed:
+        path = getattr(args, name.replace("-", "_"), None)
+        if path:
+            df = spark.read.parquet(path)
+            if name == "gazetteer":
+                out[name] = [tuple(r) for r in df.collect()]
+            elif name == "ontology":
+                out[name] = [tuple(r) for r in df.collect()]
+            else:
+                out[name] = df
+        elif args.fixtures:
+            if name == "gazetteer":
+                out[name] = fixtures.gazetteer()
+            elif name == "ontology":
+                out[name] = fixtures.ontology_edges()
+            else:
+                fx = fixtures.spark_dims(spark)
+                out[name] = fx["instance_types" if name == "instance_types"
+                               else "kb_triples"]
+        else:
+            raise DimensionError(
+                f"error: subcommand '{args.cmd}' needs the '{name}' "
+                f"dimension: pass --{name} <parquet_path>, or pass "
+                f"--fixtures to explicitly run on built-in fixture data")
+    return out
+
 
 
 def main(argv=None):
@@ -45,23 +79,43 @@ def main(argv=None):
         p = sub.add_parser(name)
         p.add_argument("paths", nargs=nargs)
         p.add_argument("--buckets", type=int, default=64)
+        p.add_argument("--fixtures", action="store_true",
+                       help="explicitly run on the built-in fixture "
+                            "gazetteer/ontology/KB (test/demo data)")
+        p.add_argument("--gazetteer", help="parquet of (surface, uri, "
+                       "support, prior, types_csv) rows")
+        p.add_argument("--ontology", help="parquet of (child, parent[, ns]) "
+                       "subClassOf edges")
+        p.add_argument("--instance-types", dest="instance_types",
+                       help="parquet of (uri, type_uri) rows")
+        p.add_argument("--kb", help="parquet of (subj, pred, obj) KB triples")
     args = ap.parse_args(argv)
 
     spark, preexisting = _spark(args)
     from .operators import annotate, enrich, vectorize
     from .sources import tables
     from .sources.pages import read_pages
-    from . import fixtures
+
+    # resolve (and loudly validate) required dimensions BEFORE any work
+    needed = {"texts2vectors": ("gazetteer", "ontology", "instance_types",
+                                "kb"),
+              "texts2concepts": ("gazetteer",),
+              "concepts2info": ("instance_types", "kb"),
+              "concepts2graphs": ("ontology",),
+              "graphs2vectors": (), "printgraph": ()}[args.cmd]
+    d = _dims(spark, args, *needed)
 
     if args.cmd == "texts2vectors":
         src, out = args.paths
-        pipe = _pipeline(spark)
+        from .pipeline import KGPipeline
+        pipe = KGPipeline(spark, d["gazetteer"], d["ontology"],
+                          d["instance_types"], d["kb"])
         pipe.run_and_write(read_pages(spark, src), out, n_buckets=args.buckets)
 
     elif args.cmd == "texts2concepts":
         src, out = args.paths
         ann = annotate.annotate_pages(spark, read_pages(spark, src),
-                                      fixtures.gazetteer())
+                                      d["gazetteer"])
         mentions, doc_words = annotate.split_mentions(ann)
         tables.write_table(tables.concepts_nested(mentions, doc_words), out,
                            n_buckets=args.buckets)
@@ -71,9 +125,7 @@ def main(argv=None):
         concepts = tables.read_table(spark, src)
         uris = (concepts.select(F.explode("mentions.uri").alias("uri"))
                 .distinct())
-        dims = fixtures.spark_dims(spark)
-        info = enrich.concept_info(uris, dims["instance_types"],
-                                   dims["kb_triples"])
+        info = enrich.concept_info(uris, d["instance_types"], d["kb"])
         info.write.mode("overwrite").parquet(out)
 
     elif args.cmd == "concepts2graphs":
@@ -86,7 +138,7 @@ def main(argv=None):
             "url", "m.uri", F.col("m.scores.offset").alias("offset"),
             F.col("m.types").alias("spotlight_types"))
         resources = graph.resource_concepts(mentions, info)
-        closure = graph.closure_table(spark, fixtures.ontology_edges())
+        closure = graph.closure_table(spark, d["ontology"])
         triples = graph.build_triples(resources, closure)
         nodes = graph.build_nodes(resources, triples)
         tables.write_table(triples, out + "/triples", n_buckets=args.buckets)

@@ -65,19 +65,29 @@ class OntologyIndex:
         return None
 
     # -- G1 parents ----------------------------------------------------------
-    def generate_parents(self, cls: str) -> List[str]:
-        """Parents of a class; virtual root if none (ontologies.py:91-101)."""
+    def generate_parents(self, cls: str, namespace_key: str = None) -> List[str]:
+        """Parents of a class; virtual root if none (ontologies.py:91-101).
+
+        With ``namespace_key``, parents outside that namespace are dropped
+        BEFORE the emptiness test (ontologies.py:93-95), so a class whose
+        parents all live elsewhere closes straight to the virtual root."""
         parents = self.parents.get(cls, [])
+        if namespace_key is not None:
+            ns = self.namespaces[namespace_key]
+            parents = [p for p in parents if p.startswith(ns)]
         return list(parents) if parents else [VIRTUAL_ROOT]
 
     # -- G2 ancestor-edge closure ---------------------------------------------
-    def closure_edges(self, cls: str) -> frozenset:
+    def closure_edges(self, cls: str, namespace_key: str = None) -> frozenset:
         """All (child, parent) edges on every ancestor walk from ``cls``.
 
         Memoized DFS (the reference re-walks shared ancestors without
-        memoization, ontologies.py:103-109; identical edge *set*).
+        memoization, ontologies.py:103-109; identical edge *set*). With
+        ``namespace_key`` the walk is restricted to in-namespace parents
+        (generate_ancestors(cl, namespace_key), ontologies.py:103-109).
         """
-        cached = self._closure_cache.get(cls)
+        cache_key = (cls, namespace_key)
+        cached = self._closure_cache.get(cache_key)
         if cached is not None:
             return cached
         edges: Set[Tuple[str, str]] = set()
@@ -88,12 +98,12 @@ class OntologyIndex:
             if cur in seen or cur == VIRTUAL_ROOT:
                 continue
             seen.add(cur)
-            for parent in self.generate_parents(cur):
+            for parent in self.generate_parents(cur, namespace_key):
                 edges.add((cur, parent))
                 if parent != VIRTUAL_ROOT:
                     stack.append(parent)
         result = frozenset(edges)
-        self._closure_cache[cls] = result
+        self._closure_cache[cache_key] = result
         return result
 
     def all_classes(self) -> Set[str]:
@@ -104,17 +114,20 @@ class OntologyIndex:
         cs.discard(VIRTUAL_ROOT)
         return cs
 
-    def full_closure_table(self, extra_classes: Iterable[str] = ()) -> List[Tuple[str, str, str]]:
+    def full_closure_table(self, extra_classes: Iterable[str] = (),
+                           namespace_key: str = None) -> List[Tuple[str, str, str]]:
         """(cls, src, dst) rows: for every class, its complete ancestor-edge set.
 
         This is the broadcast dimension used by the Spark triple builder; a
         class unknown to the taxonomy closes straight to the virtual root
-        (empty `objects()` iterator -> root, ontologies.py:96-101).
+        (empty `objects()` iterator -> root, ontologies.py:96-101). With
+        ``namespace_key`` the per-class walk is namespace-restricted
+        (builders.py:98-99 passes the key into generate_ancestors).
         """
         rows: List[Tuple[str, str, str]] = []
         classes = set(self.all_classes())
         classes.update(extra_classes)
         for cls in sorted(classes):
-            for src, dst in sorted(self.closure_edges(cls)):
+            for src, dst in sorted(self.closure_edges(cls, namespace_key)):
                 rows.append((cls, src, dst))
         return rows

@@ -34,10 +34,17 @@ from ..treebank import count_words
 __all__ = ["annotate_pages", "broadcast_gazetteer"]
 
 
-def broadcast_gazetteer(spark: SparkSession, gazetteer_rows, confidence: float = 0.5):
-    """Ship the gazetteer once per executor (matcher built lazily per worker)."""
+def broadcast_gazetteer(spark: SparkSession, gazetteer_rows,
+                        confidence: float = 0.5, support: int = None,
+                        types=None, policy: str = "whitelist"):
+    """Ship the gazetteer once per executor (matcher built lazily per worker).
+
+    support/types/policy mirror the reference's Spotlight parameters
+    (dbpediaClients.py:34-51) — see annotation_core.GazetteerMatcher."""
     return spark.sparkContext.broadcast(
-        {"rows": list(gazetteer_rows), "confidence": confidence})
+        {"rows": list(gazetteer_rows), "confidence": confidence,
+         "support": support, "types": list(types) if types else None,
+         "policy": policy})
 
 
 def _process_document(text: str, matcher: GazetteerMatcher):
@@ -70,18 +77,25 @@ def _candidates_document(text: str, matcher: GazetteerMatcher):
 
 
 def annotate_pages(spark: SparkSession, pages: DataFrame, gazetteer_rows,
-                   confidence: float = 0.5, emit: str = "best") -> DataFrame:
+                   confidence: float = 0.5, emit: str = "best",
+                   support: int = None, types=None,
+                   policy: str = "whitelist") -> DataFrame:
     """pages -> mention rows (schema schemas.MENTIONS) + per-doc sentinels.
 
     emit='best'        : disambiguated mention per span (shuffle-free).
     emit='candidates'  : all candidates per span (feed disambiguate stage).
+    support/types/policy: Spotlight-parameter filters (dbpediaClients.py:34-51).
     """
-    bc = broadcast_gazetteer(spark, gazetteer_rows, confidence)
+    bc = broadcast_gazetteer(spark, gazetteer_rows, confidence,
+                             support=support, types=types, policy=policy)
     process = _process_document if emit == "best" else _candidates_document
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = bc.value
-        matcher = GazetteerMatcher(cfg["rows"], confidence=cfg["confidence"])
+        matcher = GazetteerMatcher(cfg["rows"], confidence=cfg["confidence"],
+                                   support=cfg.get("support"),
+                                   types=cfg.get("types"),
+                                   policy=cfg.get("policy", "whitelist"))
         for pdf in batches:
             out = {k: [] for k in ("url", "nb_words", "offset", "surface", "uri",
                                    "spotlight_types", "similarity_score",

@@ -59,7 +59,8 @@ DOC_SCHEMA = T.StructType([
 def build_broadcast_state(spark: SparkSession, gazetteer_rows,
                           ontology_edge_rows, instance_types_df: DataFrame,
                           kb_triples_df: DataFrame,
-                          confidence: float = 0.5):
+                          confidence: float = 0.5, support: int = None,
+                          types=None, policy: str = "whitelist"):
     """Precompute + broadcast all dimensions the fused kernel needs.
 
     concept_info is computed with the same Spark A2-A4 joins as the staged
@@ -76,6 +77,9 @@ def build_broadcast_state(spark: SparkSession, gazetteer_rows,
     return spark.sparkContext.broadcast({
         "gazetteer": list(gazetteer_rows),
         "confidence": confidence,
+        "support": support,
+        "types": list(types) if types else None,
+        "policy": policy,
         "ontology_edges": [(c, p) for c, p, *_ in ontology_edge_rows],
         "info": info_map,
     })
@@ -182,7 +186,10 @@ def fused_docs(spark: SparkSession, pages: DataFrame, state,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = state.value
-        matcher = GazetteerMatcher(cfg["gazetteer"], confidence=cfg["confidence"])
+        matcher = GazetteerMatcher(cfg["gazetteer"], confidence=cfg["confidence"],
+                                   support=cfg.get("support"),
+                                   types=cfg.get("types"),
+                                   policy=cfg.get("policy", "whitelist"))
         onto = OntologyIndex(cfg["ontology_edges"])
         info_map = cfg["info"]
         for pdf in batches:

@@ -62,15 +62,18 @@ def canonicalize_expr(col: F.Column,
     return F.get(ranked, 0)["canonical"]
 
 
-def closure_table(spark: SparkSession, ontology_edge_rows) -> DataFrame:
+def closure_table(spark: SparkSession, ontology_edge_rows,
+                  namespace_key: str = None) -> DataFrame:
     """Precomputed ancestor-edge closure dimension: (cls, src, dst).
 
     Driver-side memoized DFS over the tiny static taxonomy (G2,
     ontologies.py:103-109 — result-identical since graph insertion is
-    idempotent); broadcast-joined downstream.
+    idempotent); broadcast-joined downstream. ``namespace_key`` restricts
+    the ancestor walks to that namespace (builders.py:98-99), for building
+    per-namespace subgraph tables.
     """
     idx = OntologyIndex([(c, p) for c, p, *_ in ontology_edge_rows])
-    rows = idx.full_closure_table()
+    rows = idx.full_closure_table(namespace_key=namespace_key)
     return spark.createDataFrame(rows, "cls string, src string, dst string")
 
 
@@ -112,7 +115,8 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64) -> DataFrame:
 
 def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
                       broadcast_info: bool = True,
-                      namespaces: Dict[str, str] = None) -> DataFrame:
+                      namespaces: Dict[str, str] = None,
+                      namespace_key: str = None) -> DataFrame:
     """A5 + J1 + P8: one row per (url, uri) resource with enrichment and the
     deduped canonical type set.
 
@@ -123,6 +127,10 @@ def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
                   types do not count here)
     * canonical_types = dedup(canonicalize(spotlight_types ∪ enriched types))
                   with unmanaged types dropped (builders.py:106-121)
+    * namespace_key: keep only canonical types in that namespace
+                  (builders.py:117-118 — build_sub_graph_from_entities'
+                  per-namespace graphs; pair with a namespace-restricted
+                  closure_table for full parity)
     """
     info = F.broadcast(concept_info) if broadcast_info else concept_info
     per_resource = (
@@ -144,6 +152,9 @@ def resource_concepts(mentions: DataFrame, concept_info: DataFrame,
     canon = F.array_distinct(
         F.filter(F.transform(merged, lambda t: canonicalize_expr(t, namespaces)),
                  lambda c: c.isNotNull()))
+    if namespace_key is not None:
+        ns = (namespaces or MANAGED_NAMESPACES)[namespace_key]
+        canon = F.filter(canon, lambda c: c.startswith(ns))
     return per_resource.select(
         "url", "uri", "count", "offset",
         F.size(F.coalesce(F.col("types"), F.array().cast("array<string>")))

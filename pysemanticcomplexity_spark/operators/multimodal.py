@@ -1,21 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode kernels are STUBS (deterministic fakes / NotImplementedError), while
-the Spark-side plumbing — schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partition-friendly layout — is real and tested:
-
 * ``binary_metadata``  — pure-JVM sniffing: payload size + magic-byte format
   detection (works on real bytes);
 * ``decode_images``    — mapInPandas kernel with the (binary -> height,
-  width, channels, features) contract; the actual pixel decode raises
-  NotImplementedError unless ``fake=True``, which derives a deterministic
-  fake geometry/feature vector from the byte content (so the distributed
-  path, schema, and batching are fully exercised);
+  width, channels, features) contract. Uncompressed formats (binary PPM
+  ``P6``, 24-bit uncompressed BMP) are decoded FOR REAL in pure numpy —
+  header parse, row-padding/bottom-up/BGR handling, per-channel statistics.
+  Compressed formats (png/jpeg/...) need PIL/opencv, which are not in this
+  container: they raise NotImplementedError unless ``fake=True``, which
+  derives a deterministic fake geometry/feature vector from the byte content
+  (so the distributed path, schema, and batching stay exercised for every
+  format);
 * ``frame_sample``     — video frame-sampling contract (stubbed the same way).
 """
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +29,7 @@ __all__ = ["binary_metadata", "decode_images", "frame_sample"]
 _MAGIC = [
     ("89504E47", "png"), ("FFD8FF", "jpeg"), ("47494638", "gif"),
     ("52494646", "riff"), ("3C68746D", "html"), ("3C21444F", "html"),
+    ("5036", "ppm"), ("424D", "bmp"),
 ]
 
 
@@ -53,35 +54,97 @@ IMAGE_SCHEMA = T.StructType([
 ])
 
 
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _decode_ppm(buf: bytes):
+    """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + one whitespace
+    byte + h*w*3 raw RGB bytes (comments unsupported; raises on mismatch)."""
+    m = _PPM_HEADER.match(buf)
+    if not m:
+        raise ValueError("not a binary PPM (P6) header")
+    w, h, maxval = (int(x) for x in m.groups())
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return h, w, px.reshape(h, w, 3)
+
+
+def _decode_bmp(buf: bytes):
+    """24-bit uncompressed BMP: BITMAPINFOHEADER geometry, 4-byte row
+    padding, bottom-up row order (top-down when height < 0), BGR -> RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    top_down, h = h < 0, abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(buf, np.uint8, count=row_size * h,
+                         offset=data_off).reshape(h, row_size)
+    px = rows[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return h, w, px[..., ::-1]          # BGR -> RGB
+
+
+def _real_features(h: int, w: int, px: np.ndarray):
+    """8 features: per-channel mean and population std (/255), aspect ratio
+    h/w, global mean (/255) — all float64 before the float32 cast."""
+    flat = px.reshape(-1, 3).astype(np.float64)
+    means = flat.mean(axis=0) / 255.0
+    stds = flat.std(axis=0) / 255.0
+    return [means[0], means[1], means[2], stds[0], stds[1], stds[2],
+            h / float(w), flat.mean() / 255.0]
+
+
 def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                   feature_dim: int = 8, fake: bool = False) -> DataFrame:
-    """Arrow-batched decode + feature-extract contract.
+    """Arrow-batched decode + feature-extract.
 
-    With ``fake=True`` the geometry and features are a deterministic pure
-    function of the payload bytes (no image library needed); with
-    ``fake=False`` this raises NotImplementedError where a real decoder
-    (PIL/opencv) would plug in. The surrounding plan — column pruning to
-    (id, payload), Arrow transfer, per-batch vectorized output — is real.
+    Binary PPM (P6) and 24-bit BMP payloads are decoded for real (pure
+    numpy; geometry + 8 channel-statistic features — see ``_real_features``).
+    Other formats need PIL/opencv: with ``fake=True`` they get a
+    deterministic fake geometry/feature vector derived from the bytes (the
+    distributed path, schema, and batching stay exercised); with
+    ``fake=False`` they raise NotImplementedError. The surrounding plan —
+    column pruning to (id, payload), Arrow transfer, per-batch vectorized
+    output — is identical either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv; not present in this "
-                    "environment — run with fake=True for the plumbing path")
             out = {"id": [], "height": [], "width": [], "channels": [],
                    "features": []}
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 buf = bytes(payload or b"")
-                h = 1 + (len(buf) % 512)
-                w = 1 + ((len(buf) * 7) % 512)
-                arr = np.frombuffer(buf[:64].ljust(64, b"\0"), dtype=np.uint8)
-                feats = (arr.reshape(feature_dim, -1).mean(axis=1) / 255.0
-                         ).astype(np.float32)
+                if buf[:2] == b"P6":
+                    h, w, px = _decode_ppm(buf)
+                    feats = np.asarray(_real_features(h, w, px),
+                                       dtype=np.float32)
+                elif buf[:2] == b"BM":
+                    h, w, px = _decode_bmp(buf)
+                    feats = np.asarray(_real_features(h, w, px),
+                                       dtype=np.float32)
+                elif fake:
+                    h = 1 + (len(buf) % 512)
+                    w = 1 + ((len(buf) * 7) % 512)
+                    arr = np.frombuffer(buf[:64].ljust(64, b"\0"),
+                                        dtype=np.uint8)
+                    feats = (arr.reshape(feature_dim, -1).mean(axis=1)
+                             / 255.0).astype(np.float32)
+                else:
+                    raise NotImplementedError(
+                        "compressed-image decode requires PIL/opencv (absent "
+                        "here); PPM/BMP decode for real, or pass fake=True "
+                        "for the plumbing path")
                 out["id"].append(int(i))
-                out["height"].append(h)
-                out["width"].append(w)
+                out["height"].append(int(h))
+                out["width"].append(int(w))
                 out["channels"].append(3)
                 out["features"].append(feats.tolist())
             yield pd.DataFrame(out)

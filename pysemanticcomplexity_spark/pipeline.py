@@ -45,6 +45,7 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, gazetteer_rows, ontology_edge_rows,
                  instance_types_df: DataFrame, kb_triples_df: DataFrame,
                  confidence: float = 0.5,
+                 support: int = None, types=None, policy: str = "whitelist",
                  disambiguation: str = "local",
                  broadcast_concept_info: bool = True,
                  persist_intermediate: bool = True):
@@ -65,19 +66,25 @@ class KGPipeline:
         self.instance_types_df = instance_types_df
         self.kb_triples_df = kb_triples_df
         self.confidence = confidence
+        self.support = support
+        self.types = types
+        self.policy = policy
         self.disambiguation = disambiguation
         self.broadcast_concept_info = broadcast_concept_info
         self.persist_intermediate = persist_intermediate
         self.closure = graph.closure_table(spark, self.ontology_edge_rows)
 
     def run(self, pages: DataFrame) -> PipelineResult:
+        ann_kw = dict(support=self.support, types=self.types,
+                      policy=self.policy)
         if self.disambiguation == "local":
             annotated = annotate.annotate_pages(
-                self.spark, pages, self.gazetteer_rows, self.confidence, emit="best")
+                self.spark, pages, self.gazetteer_rows, self.confidence,
+                emit="best", **ann_kw)
         else:
             cands = annotate.annotate_pages(
                 self.spark, pages, self.gazetteer_rows, self.confidence,
-                emit="candidates")
+                emit="candidates", **ann_kw)
             fn = (disambiguate.disambiguate_agg if self.disambiguation == "agg"
                   else disambiguate.disambiguate_apply)
             annotated = fn(cands, self.confidence)
@@ -117,7 +124,8 @@ class KGPipeline:
         identical to run() — asserted in tests/test_fused.py."""
         state = fused.build_broadcast_state(
             self.spark, self.gazetteer_rows, self.ontology_edge_rows,
-            self.instance_types_df, self.kb_triples_df, self.confidence)
+            self.instance_types_df, self.kb_triples_df, self.confidence,
+            support=self.support, types=self.types, policy=self.policy)
         docs = fused.fused_docs(self.spark, pages, state,
                                 with_features=with_features)
         if persist_docs:

@@ -168,8 +168,12 @@ class DocGraph:
 
 
 def build_graph(concepts: dict, concept_info: Dict[str, dict],
-                onto: OntologyIndex) -> DocGraph:
-    """Mirror of GraphBuilder.build_sub_graph_from_entities (builders.py:54-121)."""
+                onto: OntologyIndex, namespace_key: str = None) -> DocGraph:
+    """Mirror of GraphBuilder.build_sub_graph_from_entities (builders.py:54-121).
+
+    ``namespace_key`` restricts both the canonical type set
+    (builders.py:117-118) and the ancestor walk (builders.py:98-99 ->
+    ontologies.py:91-109) to one managed namespace."""
     mentions = concepts["mentions"]
     counter: Dict[str, int] = {}
     for m in mentions:
@@ -195,14 +199,19 @@ def build_graph(concepts: dict, concept_info: Dict[str, dict],
         types = set()
         for t in raw_types:
             c = onto.str_to_managed_uri(t)
-            if c is not None:
-                types.add(c)
+            if c is None:
+                continue
+            if namespace_key is not None and \
+                    not c.startswith(onto.namespaces[namespace_key]):
+                continue
+            types.add(c)
 
         if types:
             for rsc_type in sorted(types):
                 g.add_node(rsc_type, resource=False)
                 g.add_edge(uri, rsc_type)
-                for (cl, parent) in sorted(onto.closure_edges(rsc_type)):
+                for (cl, parent) in sorted(
+                        onto.closure_edges(rsc_type, namespace_key)):
                     g.add_node(parent, resource=False)
                     g.add_edge(cl, parent)
         else:                              # builders.py:101-104

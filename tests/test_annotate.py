@@ -74,3 +74,79 @@ def test_sentinel_rows_cover_all_docs(spark, pages60, pages60_df):
     annotated = annotate.annotate_pages(spark, pages60_df, fixtures.gazetteer())
     _, doc_words = annotate.split_mentions(annotated)
     assert doc_words.count() == len(pages60)
+
+
+def test_support_and_types_filters(spark):
+    """Spotlight-parameter filters (reference dbpediaClients.py:34-51):
+    support threshold and whitelist/blacklist type filtering, applied to
+    candidate sets before disambiguation; defaults leave behavior unchanged."""
+    from pysemanticcomplexity_spark.annotation_core import GazetteerMatcher
+    from pysemanticcomplexity_spark.operators.annotate import annotate_pages
+
+    gaz = [
+        # one surface, two candidates: popular Place vs obscure Person
+        ("paris", "http://dbpedia.org/resource/Paris", 900, 0.9,
+         "http://dbpedia.org/ontology/Place"),
+        ("paris", "http://dbpedia.org/resource/Paris_Person", 10, 0.1,
+         "http://dbpedia.org/ontology/Person"),
+    ]
+    text = "We flew to Paris yesterday."
+    # P3 drops paragraphs <= 150 chars; pad the Spark-path text past it
+    long_text = text + " " + "The rest of this paragraph is filler. " * 5
+
+    # core matcher semantics
+    m_def = GazetteerMatcher(gaz, confidence=0.05)
+    assert [m[2] for m in m_def.annotate(text)] == \
+        ["http://dbpedia.org/resource/Paris"]
+
+    m_sup = GazetteerMatcher(gaz, confidence=0.05, support=50)
+    got = list(m_sup.annotate(text))
+    assert [m[2] for m in got] == ["http://dbpedia.org/resource/Paris"]
+    assert got[0][7] == 1               # n_candidates reflects the filter
+
+    m_wl = GazetteerMatcher(gaz, confidence=0.05,
+                            types=["http://dbpedia.org/ontology/Person"])
+    assert [m[2] for m in m_wl.annotate(text)] == \
+        ["http://dbpedia.org/resource/Paris_Person"]
+
+    m_bl = GazetteerMatcher(gaz, confidence=0.05,
+                            types=["http://dbpedia.org/ontology/Place"],
+                            policy="blacklist")
+    assert [m[2] for m in m_bl.annotate(text)] == \
+        ["http://dbpedia.org/resource/Paris_Person"]
+
+    # all candidates filtered -> no mention at all
+    m_none = GazetteerMatcher(gaz, confidence=0.05, support=10_000)
+    assert list(m_none.annotate(text)) == []
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="policy"):
+        GazetteerMatcher(gaz, policy="allowlist")
+
+    # and through the Spark surface
+    from pysemanticcomplexity_spark import schemas
+    pages = spark.createDataFrame([("u1", None, None, long_text, "en")],
+                                  schemas.PAGES)
+    out = annotate_pages(spark, pages, gaz, confidence=0.05,
+                         types=["http://dbpedia.org/ontology/Person"])
+    uris = [r["uri"] for r in out.filter("offset >= 0").collect()]
+    assert uris == ["http://dbpedia.org/resource/Paris_Person"]
+
+
+def test_filters_preserve_parity_between_paths(spark, dims):
+    """Staged and fused paths agree under a support filter."""
+    from pysemanticcomplexity_spark.pipeline import KGPipeline
+    pages_df = fixtures.spark_pages(spark, 20)
+    pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"], support=100)
+    t_staged = {(r["url"], r["subj"], r["pred"], r["obj"])
+                for r in pipe.run(pages_df).triples.collect()}
+    t_fused = {(r["url"], r["subj"], r["pred"], r["obj"])
+               for r in pipe.run_fused(pages_df).triples.collect()}
+    assert t_staged == t_fused
+    # the filter bites: fewer triples than the unfiltered pipeline
+    pipe0 = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                       dims["instance_types"], dims["kb_triples"])
+    t_all = {(r["url"], r["subj"], r["pred"], r["obj"])
+             for r in pipe0.run(pages_df).triples.collect()}
+    assert len(t_staged) < len(t_all)

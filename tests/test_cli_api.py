@@ -20,9 +20,11 @@ def test_staged_cli_roundtrip(spark, dims, tmp_path, oracle60):
     g_dir = str(tmp_path / "graphs")
     v_dir = str(tmp_path / "vectors")
 
-    cli.main(["texts2concepts", pages_dir, c_dir, "--buckets", "8"])
-    cli.main(["concepts2info", c_dir, i_dir])
-    cli.main(["concepts2graphs", c_dir, i_dir, g_dir, "--buckets", "8"])
+    cli.main(["texts2concepts", pages_dir, c_dir, "--buckets", "8",
+              "--fixtures"])
+    cli.main(["concepts2info", c_dir, i_dir, "--fixtures"])
+    cli.main(["concepts2graphs", c_dir, i_dir, g_dir, "--buckets", "8",
+              "--fixtures"])
     cli.main(["graphs2vectors", g_dir, v_dir])
 
     _, _, ref_triples, ref_vectors = oracle60
@@ -73,3 +75,39 @@ def test_api_transform_texts(spark):
     assert nb_word[0] > 0 and nb_word[1] == 0 and nb_word[2] == 0
     assert mat[0, names.index("nbConcepts")] >= 3
     assert np.isnan(mat[1, names.index("conceptsWordsRatio")])
+
+
+def test_cli_fails_loudly_without_dimensions(spark, tmp_path):
+    """No --gazetteer/--ontology/... path and no explicit --fixtures ->
+    loud SystemExit naming the missing dimension, never a silent fixture
+    substitution."""
+    import pytest
+
+    from pysemanticcomplexity_spark import cli, fixtures
+
+    pages_dir = str(tmp_path / "pages")
+    fixtures.spark_pages(spark, 5).write.parquet(pages_dir)
+    with pytest.raises(SystemExit, match="gazetteer"):
+        cli.main(["texts2concepts", pages_dir, str(tmp_path / "c")])
+    with pytest.raises(SystemExit, match="ontology"):
+        cli.main(["concepts2graphs", str(tmp_path / "c"),
+                  str(tmp_path / "i"), str(tmp_path / "g")])
+
+
+def test_cli_accepts_parquet_dimension_overrides(spark, tmp_path):
+    """Real-run path: dimensions supplied as parquet are honored."""
+    from pysemanticcomplexity_spark import cli, fixtures
+
+    pages_dir = str(tmp_path / "pages")
+    fixtures.spark_pages(spark, 10).write.parquet(pages_dir)
+    gaz_path = str(tmp_path / "gaz")
+    spark.createDataFrame(
+        fixtures.gazetteer(),
+        "surface string, uri string, support long, prior double, types string"
+    ).write.parquet(gaz_path)
+
+    out = str(tmp_path / "concepts")
+    cli.main(["texts2concepts", pages_dir, out,
+              "--gazetteer", gaz_path, "--buckets", "4"])
+    got = spark.read.parquet(out)
+    assert got.count() > 0

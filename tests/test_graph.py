@@ -203,3 +203,38 @@ def test_strict_edge_dedup_hastype_precedence(spark):
     # strict dedup never drops distinct pairs: same undirected pair set
     assert {frozenset((r["subj"], r["obj"])) for r in strict} == \
         {frozenset((r["subj"], r["obj"])) for r in plain}
+
+
+def test_namespace_filtered_triples_match_oracle(spark, pipeline_result,
+                                                 oracle60, pages60):
+    """Per-namespace graph building (reference
+    build_sub_graph_from_entities(namespace_key), builders.py:54-121):
+    canonical types filtered to the namespace AND the ancestor walk
+    restricted to in-namespace parents."""
+    from pysemanticcomplexity_spark import ref_semantics as R
+
+    concepts, info, _, _ = oracle60
+    onto_idx = OntologyIndex([(c, p) for c, p, _ in fixtures.ontology_edges()])
+    for ns_key in MANAGED_NAMESPACES:
+        ref_triples = set()
+        for p in pages60:
+            c = concepts[p["url"]]
+            if not c["mentions"]:
+                continue
+            g = R.build_graph(c, info, onto_idx, namespace_key=ns_key)
+            ref_triples |= R.graph_triples(p["url"], g)
+
+        resources = G.resource_concepts(pipeline_result.mentions,
+                                        pipeline_result.concept_info,
+                                        namespace_key=ns_key)
+        closure = G.closure_table(spark, fixtures.ontology_edges(),
+                                  namespace_key=ns_key)
+        got = {(r["url"], r["subj"], r["pred"], r["obj"])
+               for r in G.build_triples(resources, closure).collect()}
+        assert got == ref_triples, ns_key
+        # the filter genuinely restricts: all class endpoints in-namespace
+        ns = MANAGED_NAMESPACES[ns_key]
+        for _, s, pred, o in got:
+            if pred == "subClassOf":
+                assert s.startswith(ns) or s == VIRTUAL_ROOT
+                assert o.startswith(ns) or o == VIRTUAL_ROOT

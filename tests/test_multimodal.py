@@ -56,3 +56,69 @@ def test_frame_sample_fake(spark, blobs):
         by_id.setdefault(r["id"], []).append(r["frame_idx"])
     assert by_id[4] == sorted(by_id[4])
     assert len(by_id[4]) >= 2
+
+
+def _bmp_bytes(pixels_rgb, top_down=False):
+    """Minimal 24-bit uncompressed BMP from an h x w x 3 RGB numpy array."""
+    import struct
+    import numpy as np
+    h, w, _ = pixels_rgb.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    data_off = 14 + 40
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", data_off + img_size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24,
+                       0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        row = pixels_rgb[r, :, ::-1].tobytes()          # RGB -> BGR on disk
+        rows.append(row + b"\0" * (row_size - len(row)))
+    return header + info + b"".join(rows)
+
+
+def test_real_ppm_and_bmp_decode(spark):
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import decode_images
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 4
+    ppm = b"P6\n3 2\n255\n" + px.tobytes()
+    bmp_up = _bmp_bytes(px)
+    bmp_down = _bmp_bytes(px, top_down=True)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp_up)), (3, bytearray(bmp_down))],
+        "id long, payload binary")
+    got = {r["id"]: r for r in decode_images(df).collect()}
+
+    flat = px.reshape(-1, 3).astype(float)
+    want = list(flat.mean(axis=0) / 255) + list(flat.std(axis=0) / 255) \
+        + [2 / 3, flat.mean() / 255]
+    for i in (1, 2, 3):                       # all three encode the SAME image
+        r = got[i]
+        assert (r["height"], r["width"], r["channels"]) == (2, 3, 3)
+        assert r["features"] == pytest.approx(want, abs=1e-6), i
+
+
+def test_bmp_row_padding_handled(spark):
+    """width=3 rows are 9 bytes, padded to 12 on disk; padding must not
+    leak into the statistics (constant-color image -> zero stds)."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import decode_images
+    px = np.full((5, 3, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(_bmp_bytes(px)))],
+                               "id long, payload binary")
+    r = decode_images(df).collect()[0]
+    assert (r["height"], r["width"]) == (5, 3)
+    assert r["features"][:3] == pytest.approx([200 / 255] * 3, abs=1e-6)
+    assert r["features"][3:6] == pytest.approx([0.0] * 3, abs=1e-9)
+
+
+def test_compressed_format_still_raises(spark):
+    from pysemanticcomplexity_spark.operators.multimodal import decode_images
+    png = bytearray(bytes.fromhex("89504E470D0A1A0A") + b"\0" * 64)
+    df = spark.createDataFrame([(1, png)], "id long, payload binary")
+    with pytest.raises(Exception, match="PIL/opencv"):
+        decode_images(df).collect()
+    # but the fake path still covers it (plumbing exercised)
+    assert decode_images(df, fake=True).count() == 1
