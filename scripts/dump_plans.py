@@ -76,6 +76,16 @@ def main():
         fmt(q["S1_cosine_topk"](spark, sf))))
 
     sections.append((
+        "S2_lsh_topk (SRP-LSH ANN, pandas-UDF bucket hashing)",
+        "Bucket ids come from one ArrowEvalPython per side (a single "
+        "batched matmul against the broadcast plane matrix) -> posexplode "
+        "-> equi-join on (table, bucket): only bucket-mates are scored. "
+        "The previous implementation evaluated the same hashes as a "
+        "~5,000-node interpreted Catalyst expression tree (13x slower "
+        "bucket stage at sf0.1).",
+        fmt(q["S2_lsh_topk"](spark, sf))))
+
+    sections.append((
         "D3_minhash_lsh",
         "Shingle explode -> one partial-aggregated groupBy(id) computing "
         "all 32 min-hashes -> band explode -> self-equi-join on "
