@@ -636,6 +636,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
     q["S2_lsh_topk"] = s2_lsh
 
+    def s3_ivf(spark, sf_dir):
+        # IVF with a fixed seeded quantizer (the "pretrained artifact"
+        # deployment shape) so the DuckDB oracle inlines the identical
+        # centroids; k-means training itself is covered in pytest
+        import numpy as np
+        from pysemanticcomplexity_spark.operators.similarity import ivf_topk
+        cents = np.random.RandomState(7).randn(16, 64)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5,
+                        centroids=cents, nprobe=4)
+    q["S3_ivf_topk"] = s3_ivf
+
     return q
 
 
@@ -1246,6 +1258,44 @@ s AS (SELECT query_id, neighbor_id,
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
              AS sim
       FROM cand),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+    # S3: IVF with the same seeded centroid matrix inlined as literals; the
+    # whole pipeline (cell assignment via argmin L2, nprobe probing, in-cell
+    # cosine rank) is replicated, so rows match exactly
+    import numpy as np
+    cents = np.random.RandomState(7).randn(16, 64)
+    cc = (cents ** 2).sum(axis=1)
+    d_exprs = ", ".join(
+        f"list_dot_product(v, v) - 2 * list_dot_product(v, {_lit_arr(cents[c])})"
+        f" + {cc[c]!r}"
+        for c in range(16))
+    o["S3_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ds AS (SELECT vec_id, v, [{d_exprs}] AS d FROM e),
+unn AS (SELECT vec_id, v, u.cid, d[u.cid + 1] AS d2
+        FROM ds, unnest(generate_series(0, 15)) u(cid)),
+ranked AS (SELECT vec_id, v, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cid) AS rnk
+           FROM unn),
+corpus AS (SELECT vec_id AS neighbor_id, v AS cv, cid AS cell
+           FROM ranked WHERE rnk = 1),
+queries AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+            FROM ranked WHERE rnk <= 4 AND vec_id < 20),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+             AS sim
+      FROM corpus JOIN queries USING (cell)
+      WHERE neighbor_id != query_id),
 r AS (SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id) AS rank

@@ -18,7 +18,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["cosine_topk", "lsh_topk", "srp_planes"]
+__all__ = ["cosine_topk", "lsh_topk", "srp_planes", "ivf_centroids",
+           "ivf_topk"]
 
 
 def _dot(a, b) -> F.Column:
@@ -111,6 +112,93 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", "cvec", "qvec")
             .dropDuplicates(["query_id", "neighbor_id"]))
+    sim = cand.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("cvec"), F.col("qvec"))
+         / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
+                  iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample.
+
+    The coarse quantizer of an IVF index is trained on a bounded sample
+    (classic FAISS practice), never the corpus: the sample is collected once
+    (O(sample) driver memory), the centroid matrix (n_centroids x dim,
+    a few KB) is broadcast. Fully seeded -> reproducible across runs and in
+    the SQL oracle, which inlines the same centroids as literals."""
+    rng = np.random.RandomState(seed)
+    x = np.asarray(sample, dtype=np.float64)
+    cents = x[rng.choice(len(x), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def _ivf_assign_udf(cents: np.ndarray, nprobe: int):
+    """array<long> of the nprobe nearest centroid ids (L2), ties by id.
+
+    One batched distance computation per Arrow batch:
+    ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2, i.e. a single matmul."""
+    cents = np.asarray(cents, dtype=np.float64)
+    c_norm2 = (cents ** 2).sum(axis=1)
+
+    @F.pandas_udf("array<long>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (mat ** 2).sum(axis=1, keepdims=True) - 2.0 * (mat @ cents.T) \
+            + c_norm2[None, :]
+        # stable argsort -> deterministic tie-break by centroid id
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return assign
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray = None, nprobe: int = 4,
+             n_centroids: int = 16, seed: int = 42,
+             train_sample: np.ndarray = None) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Corpus vectors live in exactly ONE cell (their nearest centroid);
+    queries probe their ``nprobe`` nearest cells. The candidate join is an
+    equi-join on the cell id — O(corpus + queries x nprobe x cell) — and
+    exact cosine re-ranks inside the probed cells. Recall rises with
+    ``nprobe``; ``nprobe = n_centroids`` degenerates to exact search.
+
+    Pass ``centroids`` (or ``train_sample`` to train them here) — the
+    quantizer is an explicit, versionable artifact, as at corpus scale
+    (train once on a sample, broadcast everywhere).
+    """
+    if centroids is None:
+        if train_sample is None:
+            raise ValueError("pass centroids= or train_sample=")
+        centroids = ivf_centroids(train_sample, n_centroids, seed=seed)
+
+    one = _ivf_assign_udf(centroids, nprobe=1)
+    probe = _ivf_assign_udf(centroids, nprobe=nprobe)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"), v.alias("cvec"))
+         .withColumn("cell", F.get(one("cvec"), 0)))
+    q = (queries.select(F.col(id_col).alias("query_id"), v.alias("qvec"))
+         .select("query_id", "qvec", F.explode(probe("qvec")).alias("cell")))
+
+    cand = (c.join(q, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id")))
     sim = cand.select(
         "query_id", "neighbor_id",
         (_dot(F.col("cvec"), F.col("qvec"))

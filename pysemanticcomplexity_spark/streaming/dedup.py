@@ -1,0 +1,90 @@
+"""Streaming exact deduplication over a pages/documents stream.
+
+A 10^12-document crawl arrives incrementally; exact dedup must happen
+online, not as a batch afterthought. Two shapes:
+
+* ``streaming_exact_dedup`` — first-seen-wins row filter keyed by the
+  normalized-text hash, using ``dropDuplicatesWithinWatermark``: state for a
+  key is kept only within the event-time watermark, so state size is bounded
+  by the dedup horizon (duplicates in a web crawl cluster in time — recrawls
+  / mirror bursts), not by corpus size. The key is the same
+  xxhash64(normalized text) used by the batch ``operators/dedup.exact_dedup``.
+* ``streaming_dup_counts`` — per-key duplicate counters via a stateful
+  ``applyInPandasWithState`` operator (custom state: count + first id),
+  emitting updated (text_key, n_seen, keep_id) rows each batch — the
+  streaming analogue of the batch exact-dedup *aggregate*.
+
+Watermark caveat (standard Structured Streaming semantics, observed
+empirically): rows older than ``max(event time seen) - watermark`` are
+dropped as LATE, not deduplicated. With a file source whose files arrive
+out of event-time order (e.g. one old file discovered after a much newer
+one), the newer file advances the watermark and the older rows are
+discarded entirely. Size the watermark to the source's worst-case
+event-time disorder, not just the dedup horizon.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import normalize_text
+
+__all__ = ["streaming_exact_dedup", "streaming_dup_counts"]
+
+
+def streaming_exact_dedup(stream: DataFrame, ts_col: str = "warc_ts",
+                          text_col: str = "text",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Keep the first-arriving row per normalized text within the watermark
+    horizon (append mode). State per key is dropped once the watermark
+    passes it — bounded state at unbounded input."""
+    return (stream
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withColumn("text_key", F.xxhash64(normalize_text(F.col(text_col))))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_key"]))
+
+
+_DUP_STATE = T.StructType([
+    T.StructField("n_seen", T.LongType(), False),
+    T.StructField("keep_id", T.LongType(), False),
+])
+
+_DUP_OUT = T.StructType([
+    T.StructField("text_key", T.LongType(), False),
+    T.StructField("n_seen", T.LongType(), False),
+    T.StructField("keep_id", T.LongType(), False),
+])
+
+
+def streaming_dup_counts(stream: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Running (text_key, n_seen, keep_id) via custom keyed state
+    (applyInPandasWithState): keep_id is the minimum id ever seen for the
+    key (deterministic winner, same rule as batch exact_dedup); n_seen the
+    total row count. Update output mode; one emitted row per updated key per
+    batch."""
+
+    def update(key, pdfs, state: GroupState):
+        n, keep = 0, None
+        if state.exists:
+            n, keep = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_min = int(pdf["id"].min())
+            keep = batch_min if keep is None else min(keep, batch_min)
+        state.update((n, keep))
+        yield pd.DataFrame({"text_key": [key[0]], "n_seen": [n],
+                            "keep_id": [keep]})
+
+    keyed = stream.select(
+        F.xxhash64(normalize_text(F.col(text_col))).alias("text_key"),
+        F.col(id_col).alias("id"))
+    return (keyed.groupBy("text_key")
+            .applyInPandasWithState(update, outputStructType=_DUP_OUT,
+                                    stateStructType=_DUP_STATE,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

@@ -70,3 +70,44 @@ def test_lsh_deterministic(spark, emb):
     b = {tuple(r) for r in similarity.lsh_topk(
         df, df.filter("vec_id < 5"), k=3, dim=DIM).collect()}
     assert a == b
+
+
+def test_ivf_trained_centroids_recall(spark, emb):
+    """IVF with a k-means-trained quantizer: the planted near-duplicate
+    (cos ~0.99, also L2-close) lands in the same cell as its source for
+    >= 90% of queries at nprobe=2."""
+    df, vecs = emb
+    cents = similarity.ivf_centroids(vecs[:60], n_centroids=8, seed=5)
+    res = similarity.ivf_topk(df, df.filter("vec_id < 10"), k=1,
+                              centroids=cents, nprobe=2)
+    hits = sum(1 for r in res.collect()
+               if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 40)
+    assert hits >= 9
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe == n_centroids probes every cell -> identical to brute force."""
+    df, vecs = emb
+    cents = similarity.ivf_centroids(vecs[:60], n_centroids=4, seed=5)
+    approx = {tuple(r) for r in similarity.ivf_topk(
+        df, df.filter("vec_id < 10"), k=3, centroids=cents,
+        nprobe=4).collect()}
+    exact = {tuple(r) for r in similarity.cosine_topk(
+        df, df.filter("vec_id < 10"), k=3).collect()}
+    assert approx == exact
+
+
+def test_ivf_requires_quantizer(spark, emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.ivf_topk(df, df, k=1)
+
+
+def test_ivf_centroids_deterministic():
+    rng = np.random.RandomState(0)
+    x = rng.randn(200, 16)
+    a = similarity.ivf_centroids(x, 8, seed=3)
+    b = similarity.ivf_centroids(x, 8, seed=3)
+    assert np.array_equal(a, b)
+    # training actually moves centroids toward cluster structure
+    assert not np.array_equal(a, x[:8])

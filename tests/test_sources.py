@@ -124,3 +124,82 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     q2 = ingest_pages_available_now(spark, str(src), dest, chk)
     q2.awaitTermination(120)
     assert spark.read.parquet(dest).count() == 20
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a page stream: one survivor per
+    normalized text; survivor count == batch exact_dedup group count."""
+    from pysemanticcomplexity_spark.operators.dedup import (
+        exact_dedup, normalize_text)
+    from pysemanticcomplexity_spark.streaming.dedup import streaming_exact_dedup
+
+    src = str(tmp_path / "pages_src")
+    out = str(tmp_path / "pages_out")
+    chk = str(tmp_path / "pages_chk")
+    pages = fixtures.spark_pages(spark, 30)
+    # plant exact duplicates (same text, later timestamp, distinct url)
+    dups = (pages.limit(8)
+            .withColumn("url", F.concat("url", F.lit("#dup")))
+            .withColumn("warc_ts",
+                        F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")))
+    all_pages = pages.unionByName(dups)
+    all_pages.write.parquet(src)
+
+    stream = spark.readStream.schema(all_pages.schema).parquet(src)
+    q = (streaming_exact_dedup(stream)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    n_groups = exact_dedup(all_pages, id_col="url", text_col="text").count()
+    assert got.count() == n_groups              # one survivor per text group
+    # survivors are themselves duplicate-free
+    assert got.groupBy("text_key").count().filter("count > 1").isEmpty()
+
+
+def test_streaming_dup_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState keyed dup counter: state carries across
+    micro-batches (two file drops), keep_id = min id, n_seen = total."""
+    from pysemanticcomplexity_spark.streaming.dedup import streaming_dup_counts
+
+    src = tmp_path / "docs_src"
+    out = str(tmp_path / "docs_out")
+    chk = str(tmp_path / "docs_chk")
+    src.mkdir()
+    docs1 = spark.createDataFrame(
+        [(10, "aaa bbb"), (11, "ccc ddd"), (12, "aaa bbb")],
+        "doc_id long, text string")
+    docs1.write.parquet(str(src / "b1"))
+
+    def drain():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src) + "/*"))
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (streaming_dup_counts(stream)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", chk)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    docs2 = spark.createDataFrame(
+        [(5, "aaa bbb"), (13, "eee fff")], "doc_id long, text string")
+    docs2.write.parquet(str(src / "b2"))
+    drain()                                    # resumes from checkpoint state
+
+    rows = spark.read.parquet(out).collect()
+    # latest emission per key wins (update-mode emissions accumulate in files)
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["text_key"])
+        if cur is None or r["n_seen"] > cur["n_seen"]:
+            latest[r["text_key"]] = r
+    by_count = sorted((r["n_seen"], r["keep_id"]) for r in latest.values())
+    # "aaa bbb": seen 3x total (ids 10,12 then 5 -> keep_id 5);
+    # "ccc ddd" and "eee fff": once each
+    assert by_count == [(1, 11), (1, 13), (3, 5)]
