@@ -37,6 +37,13 @@ def _lineage_path(out_dir: str) -> str:
 
 def read_lineage(spark, out_dir: str) -> DataFrame:
     path = _lineage_path(out_dir)
+    # cheap local existence check first: avoids the JVM logging a loud
+    # PATH_NOT_FOUND stack trace on every fresh output dir (local/file://
+    # paths only; remote URIs fall through to the try/except)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if "://" not in local and not os.path.exists(local):
+        from .schemas import LINEAGE
+        return spark.createDataFrame([], LINEAGE)
     try:
         return spark.read.parquet(path)
     except Exception:

@@ -41,6 +41,10 @@ def broadcast_gazetteer(spark: SparkSession, gazetteer_rows,
 
     support/types/policy mirror the reference's Spotlight parameters
     (dbpediaClients.py:34-51) — see annotation_core.GazetteerMatcher."""
+    if policy not in ("whitelist", "blacklist"):
+        # fail at plan-build time, not inside an executor UDF
+        raise ValueError(f"policy must be 'whitelist' or 'blacklist', "
+                         f"got {policy!r}")
     return spark.sparkContext.broadcast(
         {"rows": list(gazetteer_rows), "confidence": confidence,
          "support": support, "types": list(types) if types else None,

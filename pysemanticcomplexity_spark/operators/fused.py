@@ -68,6 +68,11 @@ def build_broadcast_state(spark: SparkSession, gazetteer_rows,
     gazetteer size, not corpus size)."""
     from . import enrich
 
+    if policy not in ("whitelist", "blacklist"):
+        # fail at plan-build time, not inside an executor UDF
+        raise ValueError(f"policy must be 'whitelist' or 'blacklist', "
+                         f"got {policy!r}")
+
     uris = sorted({uri for _s, uri, *_rest in gazetteer_rows})
     uris_df = spark.createDataFrame([(u,) for u in uris], "uri string")
     info_rows = enrich.concept_info(
