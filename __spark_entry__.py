@@ -440,6 +440,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("brk").cast("long").alias("n_sessions")))
     q["W2_sessionize"] = w2_sessionize
 
+    def q5_multiway(spark, sf_dir):
+        # TPC-H Q5 shape: 5-way join, small dims broadcast, big side shuffled
+        # once on the join key chain
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        r = spark.read.parquet(f"{sf_dir}/region.parquet")
+        rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 10000).cast("long")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(c, o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name", "n_name")
+                .agg(F.sum(rev_c).cast("long").alias("revenue_e4"),
+                     F.count("*").cast("long").alias("n_items")))
+    q["Q5_multiway_join"] = q5_multiway
+
+    def q6_grouping_sets(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.createOrReplaceTempView("li_gs")
+        return spark.sql("""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM li_gs
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """)
+    q["Q6_grouping_sets"] = q6_grouping_sets
+
+    def q7_percentiles(spark, sf_dir):
+        # exact (interpolating) percentiles over integer cents: Spark
+        # percentile() and DuckDB quantile_cont share the linear-interpolation
+        # definition, and the integer base keeps inputs bit-identical
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+        return (li.select("l_returnflag", price_c.alias("pc"))
+                .groupBy("l_returnflag")
+                .agg(F.round(F.percentile("pc", F.lit(0.5)), 4).alias("median_cents"),
+                     F.round(F.percentile("pc", F.lit(0.95)), 4).alias("p95_cents"),
+                     F.min("pc").cast("long").alias("min_cents"),
+                     F.max("pc").cast("long").alias("max_cents")))
+    q["Q7_percentiles"] = q7_percentiles
+
+    def q8_set_ops(spark, sf_dir):
+        # INTERSECT / EXCEPT as first-class set operators
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        big = (o.filter(F.col("o_totalprice") > 150000)
+               .select(F.col("o_custkey").alias("k")))
+        rich = (c.filter(F.col("c_acctbal") > 5000)
+                .select(F.col("c_custkey").alias("k")))
+        both = big.intersect(rich).select(F.lit("both").alias("grp"), "k")
+        only_rich = rich.exceptAll(big).distinct() \
+            .select(F.lit("only_rich").alias("grp"), "k")
+        return both.unionByName(only_rich)
+    q["Q8_set_ops"] = q8_set_ops
+
+    def q9_exists(spark, sf_dir):
+        # correlated EXISTS subquery (rewritten by Catalyst to a semi join)
+        spark.read.parquet(f"{sf_dir}/customer.parquet") \
+            .createOrReplaceTempView("c_ex")
+        spark.read.parquet(f"{sf_dir}/orders.parquet") \
+            .createOrReplaceTempView("o_ex")
+        return spark.sql("""
+            SELECT c_custkey, c_name
+            FROM c_ex
+            WHERE EXISTS (SELECT 1 FROM o_ex
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000)
+        """)
+    q["Q9_exists_subquery"] = q9_exists
+
     # ---- dedup / similarity / text ----------------------------------------
     def d1_exact(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -1113,6 +1189,58 @@ SELECT id, CAST(2 AS BIGINT) AS height, CAST(3 AS BIGINT) AS width,
        round(2.0 / 3.0, 4) AS f6,
        round(list_avg(p) / 255.0, 4) AS f7
 FROM px
+"""
+
+    o["Q5_multiway_join"] = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+    o["Q6_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+    o["Q7_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5), 4)
+           AS median_cents,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95), 4)
+           AS p95_cents,
+       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents,
+       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+    o["Q8_set_ops"] = """
+WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+SELECT 'both' AS grp, k FROM (SELECT k FROM big INTERSECT SELECT k FROM rich)
+UNION ALL
+SELECT 'only_rich' AS grp, k
+FROM (SELECT k FROM rich EXCEPT SELECT k FROM big)
+"""
+
+    o["Q9_exists_subquery"] = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
     o["L1_ttr_features"] = f"""
