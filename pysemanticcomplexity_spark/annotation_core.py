@@ -80,6 +80,18 @@ class GazetteerMatcher:
             max_len = max(max_len, key.count(" ") + 1)
         self.index = index
         self.max_tokens = max_len
+        # first-token -> longest surface (in tokens) starting with it: lets
+        # _match_spans skip a position with ONE dict probe when no surface
+        # can possibly start there (the overwhelmingly common case), instead
+        # of joining max_tokens candidate keys. Pure speedup — any match at
+        # position i must start with tokens[i], and its length is bounded by
+        # this map, so the accept/reject decisions are unchanged.
+        self._first_tok_max: Dict[str, int] = {}
+        for key in index:
+            first = key.split(" ", 1)[0]
+            ntok = key.count(" ") + 1
+            if ntok > self._first_tok_max.get(first, 0):
+                self._first_tok_max[first] = ntok
         # Precompute per-surface scored candidates (deterministic order).
         self._scored: Dict[str, List[Tuple[float, str, int, str, float]]] = {}
         for key, cands in index.items():
@@ -139,11 +151,17 @@ class GazetteerMatcher:
         tokens = [(m.start(), m.end(), m.group().lower())
                   for m in _TOKEN_RE.finditer(paragraph)]
         i, n = 0, len(tokens)
+        first_max = self._first_tok_max
+        index = self.index
         while i < n:
+            kmax = first_max.get(tokens[i][2])
+            if kmax is None:           # no surface starts with this token
+                i += 1
+                continue
             hit = None
-            for k in range(min(self.max_tokens, n - i), 0, -1):
+            for k in range(min(kmax, n - i), 0, -1):
                 key = " ".join(t[2] for t in tokens[i:i + k])
-                if key in self.index:
+                if key in index:
                     hit = (k, key)
                     break
             if hit is None:
