@@ -66,20 +66,33 @@ class TreebankTokenizer:
         re.compile(p) for p in (r"(?i) ('t)(is)\b", r"(?i) ('t)(was)\b")
     ]
 
+    # cheap superset guards: each rule group below can only match when its
+    # guard substring occurs, so skipping the group on a miss is exactly
+    # output-preserving (re.sub is identity without a match) while replacing
+    # many full-string regex scans with one C-speed substring test.
+    _CONTR2_HINT = re.compile(r"(?i)cannot|d'ye|gimme|gonna|gotta|lemme|mor'n|wanna")
+
     def tokenize(self, text: str) -> List[str]:
-        for regexp, substitution in self.STARTING_QUOTES:
-            text = regexp.sub(substitution, text)
+        if '"' in text or "`" in text or "''" in text:
+            for regexp, substitution in self.STARTING_QUOTES:
+                text = regexp.sub(substitution, text)
         for regexp, substitution in self.PUNCTUATION:
             text = regexp.sub(substitution, text)
         for regexp, substitution in self.PARENS_BRACKETS:
             text = regexp.sub(substitution, text)
         text = " " + text + " "
-        for regexp, substitution in self.ENDING_QUOTES:
-            text = regexp.sub(substitution, text)
-        for regexp in self.CONTRACTIONS2:
-            text = regexp.sub(r" \1 \2 ", text)
-        for regexp in self.CONTRACTIONS3:
-            text = regexp.sub(r" \1 \2 ", text)
+        if '"' in text:
+            text = self.ENDING_QUOTES[0][0].sub(self.ENDING_QUOTES[0][1], text)
+        has_apos = "'" in text    # checked after rule 0, which introduces ''
+        if has_apos:
+            for regexp, substitution in self.ENDING_QUOTES[1:]:
+                text = regexp.sub(substitution, text)
+        if self._CONTR2_HINT.search(text):
+            for regexp in self.CONTRACTIONS2:
+                text = regexp.sub(r" \1 \2 ", text)
+        if has_apos:
+            for regexp in self.CONTRACTIONS3:
+                text = regexp.sub(r" \1 \2 ", text)
         return text.split()
 
 
