@@ -608,6 +608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_docs(spark, sf_dir))
     q["T3_fingerprint"] = t3_fp
 
+    def t4_winnow(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import (
+            winnow_fingerprints)
+        return winnow_fingerprints(_docs(spark, sf_dir))
+    q["T4_winnowing"] = t4_winnow
+
     def l1_ttr(spark, sf_dir):
         # token-only subset of the reference's lexical pipeline
         # (parsers/lexical/stanford.py:96-135; POS-dependent and
@@ -1241,6 +1247,26 @@ SELECT c_custkey, c_name
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+    # T4: winnowing (k=8 char-grams, window 4, poly hash) — same scheme,
+    # same hash constants, window min via the identical frame
+    o["T4_winnowing"] = """
+WITH t AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
+grams AS (
+  SELECT id, u.pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(str_split(substr(t, u.pos, 8), ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS h
+  FROM t, unnest(generate_series(1, length(t) - 7)) u(pos)
+  WHERE length(t) >= 8),
+mins AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM grams)
+SELECT DISTINCT id, fp FROM mins WHERE pos >= 4
 """
 
     o["L1_ttr_features"] = f"""

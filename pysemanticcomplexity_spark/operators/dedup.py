@@ -276,6 +276,12 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
     """Split the fingerprint into 4 blocks; by pigeonhole any pair within
     Hamming distance 3 agrees on >= 1 block, so the self-join is bucketed by
     (block_idx, block_value), never all-pairs."""
+    if max_hamming > 3:
+        # 4 blocks only guarantee a shared block for distance <= 3; a larger
+        # threshold would silently miss pairs (pigeonhole needs
+        # max_hamming+1 blocks)
+        raise ValueError("4-block bucketing guarantees recall only for "
+                         f"max_hamming <= 3, got {max_hamming}")
     block_bits = n_bits // 4
     mask = (1 << block_bits) - 1
     blocks = fps.select(

@@ -6,9 +6,10 @@ one has a DuckDB oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
-__all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint"]
+__all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint",
+           "winnow_fingerprints"]
 
 # tiny built-in stopword lists for the n-gram/stopword language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -80,3 +81,38 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         chars, F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD)
     return docs.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS scheme): hash every character k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum; the
+    distinct selected hashes are the document's fingerprints.
+
+    Guarantee: any shared substring of length >= w + k - 1 between two
+    documents yields a shared fingerprint, while only ~2/(w+1) of k-grams
+    are retained. Everything is JVM-side: the k-gram explode is one
+    generator, the window minimum one partial-aggregated window over
+    (id, pos) — O(chars) work per document, no Python. Hashing uses the
+    portable polynomial family so the DuckDB oracle replicates fingerprints
+    exactly. Documents shorter than k + w - 1 chars emit no fingerprints
+    (no complete window; documented edge).
+    """
+    from .dedup import poly_hash_expr
+
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.lower(F.col(text_col)).alias("t"))
+    npos = F.length("t") - k + 1
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = (base.select("id", "t", F.explode(positions).alias("pos"))
+             .select("id", "pos",
+                     poly_hash_expr(F.col("t").substr(F.col("pos"), F.lit(k)))
+                     .alias("h")))
+    win = (Window.partitionBy("id").orderBy("pos")
+           .rowsBetween(-(w - 1), 0))
+    return (grams.select("id", "pos", F.min("h").over(win).alias("fp"))
+            .filter(F.col("pos") >= w)          # complete windows only
+            .select("id", "fp").distinct())

@@ -44,3 +44,43 @@ def test_fingerprint_golden(spark, docs):
     for i, text in [(0, "the cat sat on the mat and it is a good day for the dog"),
                     (2, "xyzzy qwerty asdf"), (3, "")]:
         assert out[i] == py_fp(text), i
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): documents sharing a substring
+    of length >= w + k - 1 (= 11 at k=8, w=4) share a fingerprint; disjoint
+    documents share none."""
+    from pysemanticcomplexity_spark.operators.textstats import winnow_fingerprints
+    shared = "the common passage appears verbatim here"
+    docs = spark.createDataFrame(
+        [(1, "prefix one %s suffix alpha" % shared),
+         (2, "different beginning %s and another end" % shared),
+         (3, "zzz qqq completely unrelated material xxyyzz 123456")],
+        "doc_id long, text string")
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in winnow_fingerprints(docs).collect():
+        fps[r["id"]].add(r["fp"])
+    assert fps[1] & fps[2]                 # shared passage -> shared prints
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnowing_compression_and_short_doc(spark):
+    from pysemanticcomplexity_spark.operators.textstats import winnow_fingerprints
+    long_doc = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "tiny")],       # doc 2 shorter than k+w-1
+        "doc_id long, text string")
+    rows = winnow_fingerprints(docs).collect()
+    n1 = sum(1 for r in rows if r["id"] == 1)
+    assert not any(r["id"] == 2 for r in rows)
+    # ~2/(w+1) of the ~len(t) k-grams retained; allow generous slack
+    assert 0 < n1 < len(long_doc)
+
+
+def test_simhash_pairs_reject_uncovered_hamming(spark):
+    import pytest as _pytest
+    from pysemanticcomplexity_spark.operators import dedup
+    fps = spark.createDataFrame([(1, 0)], "id long, fingerprint long")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_candidate_pairs(fps, max_hamming=4)
