@@ -552,6 +552,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("jaccard") >= 0.3))
     q["D2_ngram_jaccard"] = d2_jaccard
 
+    def d6_clusters(spark, sf_dir):
+        # connected components over the D2 near-dup pairs: each component is
+        # one duplicate group; cluster_id = min reachable id (the keep id).
+        # Iterative min-label propagation in Spark vs a transitive-closure
+        # recursive CTE in DuckDB.
+        from pysemanticcomplexity_spark.operators.dedup import duplicate_clusters
+        return duplicate_clusters(d2_jaccard(spark, sf_dir)) \
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id"))
+    q["D6_dup_clusters"] = d6_clusters
+
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
             embedding_near_dups_bruteforce)
@@ -607,6 +618,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pysemanticcomplexity_spark.operators.textstats import fingerprint
         return fingerprint(_docs(spark, sf_dir))
     q["T3_fingerprint"] = t3_fp
+
+    def qf1_gopher(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import gopher_quality
+        g = gopher_quality(_docs(spark, sf_dir))
+        return g.select(
+            "id", "n_words",
+            *[F.round(c, 9).alias(c)
+              for c in ["mean_word_len", "symbol_ratio", "bullet_line_frac",
+                        "ellipsis_line_frac", "alpha_word_frac"]],
+            "n_stopwords_present", "passes")
+    q["QF1_gopher_quality"] = qf1_gopher
 
     def t4_winnow(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.textstats import (
@@ -1247,6 +1269,61 @@ SELECT c_custkey, c_name
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+    stop_list = "['the','a','of','and','to','in','is','it','that','for']"
+    o["QF1_gopher_quality"] = rf"""
+WITH b AS (
+  SELECT doc_id AS id, text,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         str_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(length(text) - length(replace(text, '#', ''))
+                + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+           / len(toks) END AS symbol_ratio,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*]')))
+              AS DOUBLE) / len(lines) AS bullet_line_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.[ \t]*$')))
+              AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / len(toks) END AS alpha_word_frac,
+         CAST(len(list_filter({stop_list}, s -> list_contains(toks, s)))
+              AS BIGINT) AS n_stopwords_present
+  FROM b)
+SELECT id, n_words, round(mean_word_len, 9) AS mean_word_len,
+       round(symbol_ratio, 9) AS symbol_ratio,
+       round(bullet_line_frac, 9) AS bullet_line_frac,
+       round(ellipsis_line_frac, 9) AS ellipsis_line_frac,
+       round(alpha_word_frac, 9) AS alpha_word_frac,
+       n_stopwords_present,
+       coalesce(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND symbol_ratio < 0.1 AND bullet_line_frac < 0.9
+                AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+                AND n_stopwords_present >= 2, FALSE) AS passes
+FROM m
+"""
+
+    # D6: connected components over the D2 pair graph — transitive closure
+    # via recursive CTE, cluster id = min reachable node
+    o["D6_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({o["D2_ngram_jaccard"]}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, node) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+SELECT CAST(src AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
 """
 
     # T4: winnowing (k=8 char-grams, window 4, poly hash) — same scheme,

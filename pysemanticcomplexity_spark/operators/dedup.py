@@ -54,7 +54,7 @@ def poly_hash_expr(col) -> F.Column:
 __all__ = ["normalize_text", "exact_dedup", "shingles", "minhash_signatures",
            "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash",
            "simhash_candidate_pairs", "embedding_near_dups",
-           "embedding_near_dups_bruteforce"]
+           "embedding_near_dups_bruteforce", "duplicate_clusters"]
 
 
 def normalize_text(col) -> F.Column:
@@ -273,24 +273,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
                             n_bits: int = 64) -> DataFrame:
-    """Split the fingerprint into 4 blocks; by pigeonhole any pair within
-    Hamming distance 3 agrees on >= 1 block, so the self-join is bucketed by
-    (block_idx, block_value), never all-pairs."""
-    if max_hamming > 3:
-        # 4 blocks only guarantee a shared block for distance <= 3; a larger
-        # threshold would silently miss pairs (pigeonhole needs
-        # max_hamming+1 blocks)
-        raise ValueError("4-block bucketing guarantees recall only for "
-                         f"max_hamming <= 3, got {max_hamming}")
-    block_bits = n_bits // 4
-    mask = (1 << block_bits) - 1
+    """Split the fingerprint into ``max_hamming + 1`` blocks; by pigeonhole
+    any pair within the Hamming threshold agrees on >= 1 full block, so the
+    self-join is bucketed by (block_idx, block_value), never all-pairs.
+    Recall is exact at ANY threshold — more blocks (higher threshold) just
+    means a denser candidate join. Blocks use variable widths so every bit
+    is covered (the first ``n_bits % n_blocks`` blocks get one extra bit)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_blocks} blocks "
+                         f"but the fingerprint has only {n_bits} bits")
+    base, rem = divmod(n_bits, n_blocks)
+    widths = [base + 1 if k < rem else base for k in range(n_blocks)]
+    offsets = [sum(widths[:k]) for k in range(n_blocks)]
     blocks = fps.select(
         "id", "fingerprint",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("blk"),
-                     F.shiftright("fingerprint", block_bits * k)
-                     .bitwiseAND(F.lit(mask)).alias("val"))
-            for k in range(4)])).alias("b")) \
+                     F.shiftright("fingerprint", offsets[k])
+                     .bitwiseAND(F.lit((1 << widths[k]) - 1)).alias("val"))
+            for k in range(n_blocks)])).alias("b")) \
         .select("id", "fingerprint", "b.blk", "b.val")
     a = blocks.select(F.col("id").alias("id_a"),
                       F.col("fingerprint").alias("fp_a"), "blk", "val")
@@ -301,3 +303,43 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over candidate pairs: (id, cluster_id) where
+    cluster_id = min id reachable through the pair graph.
+
+    The step after candidate generation in a dedup pipeline: pairs from
+    minhash/simhash/embedding candidates are edges; each component is one
+    duplicate group, and ``cluster_id`` doubles as the canonical keep id.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label in its neighborhood (large-star/small-star style, one
+    shuffle per round); converges in O(log component-diameter) rounds —
+    web-corpus duplicate groups are shallow (near-cliques), so 2-4 rounds in
+    practice. ``localCheckpoint`` truncates lineage per round (mandatory:
+    analysis time grows exponentially otherwise — see graph.iterative_closure).
+    Raises if max_iters rounds do not converge.
+    """
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                       F.col("id_a").alias("b")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges["b"] == labels["id"])
+                 .groupBy(F.col("a").alias("id"))
+                 .agg(F.min("label").alias("nmin")))
+        new = (labels.join(neigh, "id", "left")
+               .select("id", F.least("label", F.coalesce("nmin", "label"))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
+                   .filter(F.col("label") != F.col("old")))
+        labels = new
+        if changed.isEmpty():
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"duplicate_clusters did not converge in {max_iters} "
+                       "rounds")

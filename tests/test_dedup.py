@@ -164,3 +164,28 @@ def test_portable_simhash_identical_docs_zero_hamming(spark):
     pairs = dedup.simhash_candidate_pairs(fps, max_hamming=0, n_bits=32)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got.get((1, 2)) == 0       # whitespace-normalized equal docs
+
+
+def test_duplicate_clusters_components(spark):
+    """Min-label propagation finds exact connected components: a 6-node
+    chain (needs several rounds), a star, and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),        # chain 1..6
+         (10, 11), (10, 12), (10, 13),                  # star at 10
+         (20, 21)],                                     # pair
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_duplicate_clusters_keep_one_per_group(spark):
+    """cluster_id doubles as the canonical keep id: exactly one id per
+    cluster equals its cluster_id."""
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (100, 42)],
+                                  "id_a long, id_b long")
+    rows = dedup.duplicate_clusters(pairs).collect()
+    keeps = [r["id"] for r in rows if r["id"] == r["cluster_id"]]
+    assert sorted(keeps) == [3, 42]

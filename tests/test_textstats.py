@@ -79,8 +79,33 @@ def test_winnowing_compression_and_short_doc(spark):
 
 
 def test_simhash_pairs_reject_uncovered_hamming(spark):
+    """Thresholds above n_bits-1 cannot be covered by pigeonhole blocks."""
     import pytest as _pytest
     from pysemanticcomplexity_spark.operators import dedup
     fps = spark.createDataFrame([(1, 0)], "id long, fingerprint long")
     with _pytest.raises(ValueError, match="max_hamming"):
-        dedup.simhash_candidate_pairs(fps, max_hamming=4)
+        dedup.simhash_candidate_pairs(fps, max_hamming=32, n_bits=32)
+    # but any threshold < n_bits now carries the exact pigeonhole guarantee
+    assert dedup.simhash_candidate_pairs(fps, max_hamming=7,
+                                         n_bits=32).count() == 0
+
+
+def test_gopher_quality_flags(spark):
+    """Each Gopher rule fires on its pathological document and the healthy
+    document passes."""
+    from pysemanticcomplexity_spark.operators.textstats import gopher_quality
+    healthy = ("The quick brown fox jumps over the lazy dog and then it "
+               "runs away to find some food for the rest of the day. " * 3)
+    bullets = "\n".join("- item %d in a list" % i for i in range(30))
+    symbols = "the word # and tag # more text # here # " * 10
+    numbers = " ".join(str(i) for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, healthy), (2, bullets), (3, symbols), (4, numbers), (5, "")],
+        "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False and got[2]["bullet_line_frac"] == 1.0
+    assert got[3]["passes"] is False and got[3]["symbol_ratio"] >= 0.1
+    assert got[4]["passes"] is False and got[4]["alpha_word_frac"] == 0.0
+    assert got[5]["passes"] is False and got[5]["n_words"] == 0
+    assert got[5]["mean_word_len"] is None      # NULL, never a crash
