@@ -619,6 +619,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_docs(spark, sf_dir))
     q["T3_fingerprint"] = t3_fp
 
+    def t5_bpe(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import bpe_token_count
+        b = bpe_token_count(_docs(spark, sf_dir))
+        return b.select("id", "n_bpe_tokens", "n_ws_tokens",
+                        F.round("tokens_per_word", 9).alias("tokens_per_word"))
+    q["T5_bpe_token_count"] = t5_bpe
+
+    def qf2_source_rollup(spark, sf_dir):
+        # governance rollup: Gopher pass-rate and token volume per source
+        from pysemanticcomplexity_spark.operators.textstats import gopher_quality
+        d = _docs(spark, sf_dir)
+        g = gopher_quality(d).join(
+            d.select(F.col("doc_id").alias("id"), "source"), "id")
+        return (g.groupBy("source")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                     .cast("long").alias("n_pass"),
+                     F.sum("n_words").cast("long").alias("total_words")))
+    q["QF2_source_rollup"] = qf2_source_rollup
+
     def qf1_gopher(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.textstats import gopher_quality
         g = gopher_quality(_docs(spark, sf_dir))
@@ -1271,6 +1291,21 @@ WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
+    from pysemanticcomplexity_spark.operators.textstats import BPE_PATTERN
+    bpe_sql = BPE_PATTERN.replace("'", "''")   # SQL string-literal escaping
+    o["T5_bpe_token_count"] = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         len(list_filter(regexp_extract_all(text, '{bpe_sql}'),
+                         x -> NOT regexp_matches(x, '^\\s+$'))) AS bpe,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS ws
+  FROM documents)
+SELECT id, CAST(bpe AS BIGINT) AS n_bpe_tokens, CAST(ws AS BIGINT) AS n_ws_tokens,
+       round(CASE WHEN ws > 0 THEN CAST(bpe AS DOUBLE) / ws END, 9)
+           AS tokens_per_word
+FROM t
+"""
+
     stop_list = "['the','a','of','and','to','in','is','it','that','for']"
     o["QF1_gopher_quality"] = rf"""
 WITH b AS (
@@ -1309,6 +1344,16 @@ SELECT id, n_words, round(mean_word_len, 9) AS mean_word_len,
                 AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
                 AND n_stopwords_present >= 2, FALSE) AS passes
 FROM m
+"""
+
+    o["QF2_source_rollup"] = f"""
+WITH q AS ({o["QF1_gopher_quality"]})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(q.n_words) AS BIGINT) AS total_words
+FROM q JOIN documents d ON q.id = d.doc_id
+GROUP BY d.source
 """
 
     # D6: connected components over the D2 pair graph — transitive closure

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 __all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint",
-           "winnow_fingerprints", "gopher_quality"]
+           "winnow_fingerprints", "gopher_quality", "bpe_token_count"]
 
 # tiny built-in stopword lists for the n-gram/stopword language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -175,3 +175,29 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
               & (F.col("alpha_word_frac") > 0.8)
               & (F.col("n_stopwords_present") >= 2))
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible constructs
+# (no lookahead — RE2/DuckDB rejects it) and ASCII classes (cross-engine
+# \p{L} semantics differ at the margins). Contractions, space-prefixed
+# word/number runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens, tokens_per_word): BPE-ish pre-token
+    count (the usual LLM-training cost proxy) next to the whitespace count;
+    tokens_per_word ~ how sub-word-heavy the text is. Pure JVM regex —
+    scan-speed, SQL-oracled (T5)."""
+    t = F.col(text_col)
+    bpe = F.size(F.filter(
+        F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0)),
+        lambda x: ~x.rlike(r"^\s+$")))        # whitespace runs aren't tokens
+    ws = F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN),
+                                     F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        F.when(ws > 0, bpe.cast("double") / ws).alias("tokens_per_word"))

@@ -109,3 +109,19 @@ def test_gopher_quality_flags(spark):
     assert got[4]["passes"] is False and got[4]["alpha_word_frac"] == 0.0
     assert got[5]["passes"] is False and got[5]["n_words"] == 0
     assert got[5]["mean_word_len"] is None      # NULL, never a crash
+
+
+def test_bpe_token_count_gpt2_style(spark):
+    from pysemanticcomplexity_spark.operators.textstats import bpe_token_count
+    docs = spark.createDataFrame(
+        [(1, "Hello world, it's 2026!"), (2, ""), (3, "we'll don't I'm")],
+        "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in bpe_token_count(docs).collect()}
+    # ['Hello',' world',',',' it',"'s",' 2026','!'] -> 7 bpe; ws: hello,world,it,s,2026 -> 5
+    assert got[1]["n_bpe_tokens"] == 7 and got[1]["n_ws_tokens"] == 5
+    assert got[2]["n_bpe_tokens"] == 0 and got[2]["tokens_per_word"] is None
+    # contractions split like GPT-2: we 'll  don 't  I 'm -> 6 bpe
+    # (ws model also yields 6: we,ll,don,t,i,m -> ratio exactly 1.0)
+    assert got[3]["n_bpe_tokens"] == 6
+    assert got[3]["tokens_per_word"] == 1.0
+    assert got[1]["tokens_per_word"] == pytest.approx(7 / 5)
