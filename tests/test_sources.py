@@ -203,3 +203,42 @@ def test_streaming_dup_counts_stateful(spark, tmp_path):
     # "aaa bbb": seen 3x total (ids 10,12 then 5 -> keep_id 5);
     # "ccc ddd" and "eee fff": once each
     assert by_count == [(1, 11), (1, 13), (3, 5)]
+
+
+def test_streaming_kg_triples_equal_batch(spark, dims, tmp_path):
+    """The fused kernel over a page STREAM produces exactly the batch
+    pipeline's triples (shared kernel, stateless mapInPandas), with
+    exactly-once-per-file on rerun."""
+    from pysemanticcomplexity_spark.pipeline import KGPipeline
+    from pysemanticcomplexity_spark.streaming.kg import (
+        streaming_triples_available_now)
+
+    src = tmp_path / "pages_src"
+    out = str(tmp_path / "triples_out")
+    chk = str(tmp_path / "chk")
+    src.mkdir()
+    pages = fixtures.spark_pages(spark, 30)
+    pages.limit(20).coalesce(1).write.parquet(str(src / "b1"))
+
+    def drain():
+        q = streaming_triples_available_now(
+            spark, str(src) + "/*", out, chk, fixtures.gazetteer(),
+            fixtures.ontology_edges(), dims["instance_types"],
+            dims["kb_triples"])
+        q.awaitTermination(180)
+
+    drain()
+    # second file arrives; rerun drains ONLY the new file
+    pages.subtract(pages.limit(20)).coalesce(1).write.parquet(str(src / "b2"))
+    drain()
+    drain()                                  # idempotent: nothing new
+
+    got = {(r["url"], r["subj"], r["pred"], r["obj"])
+           for r in spark.read.parquet(out).collect()}
+    pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"])
+    want = {(r["url"], r["subj"], r["pred"], r["obj"])
+            for r in pipe.run_fused(pages).triples.collect()}
+    assert got == want
+    # no duplicates from the triple drains
+    assert spark.read.parquet(out).count() == len(got)
