@@ -24,7 +24,7 @@ characters).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 # engine-portable polynomial hash family: poly(s) folds (acc*31 + ascii) mod
 # POLY_MOD; seed i maps h -> (A_i*h + B_i) mod POLY_MOD. All intermediates
@@ -126,14 +126,25 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32,
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, *,
-                        sig_len: int, hash_fn: str = "xxhash64") -> DataFrame:
+                        sig_len: int, hash_fn: str = "xxhash64",
+                        max_bucket_size: int = None) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
     on all rows of any band become candidate pairs (id_a < id_b).
 
     ``sig_len`` (= num_hashes used for the signatures) is required: inferring
     it would take a driver-side schema-probe action over the corpus.
     ``hash_fn='poly'`` folds the band's signature values mod 1e9+7 instead of
-    xxhash64-ing the slice (engine-portable band buckets)."""
+    xxhash64-ing the slice (engine-portable band buckets).
+
+    ``max_bucket_size`` caps the quadratic blowup of duplicate MEGA-CLUSTERS
+    (boilerplate/template pages put 10^5+ docs into one bucket; all-pairs
+    there is 10^10 rows from a single key). Buckets above the cap switch to
+    a STAR topology: every member pairs with the bucket's minimum id only.
+    Pair count becomes linear in bucket size while the pair graph keeps the
+    exact same connected components (every member stays reachable through
+    the hub), so ``duplicate_clusters`` downstream is unaffected. Use the
+    cap for clustering flows; leave it None when each individual pair will
+    be verified (star mode intentionally omits non-hub pairs)."""
     rows_per_band = sig_len // bands
 
     def band_bucket(b):
@@ -152,6 +163,22 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, *,
             F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(bands)])).alias("bb")) \
         .select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        sized = buckets.select("id", "band", "bucket",
+                               F.count("*").over(w).alias("sz"),
+                               F.min("id").over(w).alias("hub"))
+        small = sized.filter(F.col("sz") <= max_bucket_size)
+        a = small.select(F.col("id").alias("id_a"), "band", "bucket")
+        b = small.select(F.col("id").alias("id_b"), "band", "bucket")
+        dense = (a.join(b, ["band", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+        star = (sized.filter((F.col("sz") > max_bucket_size)
+                             & (F.col("id") != F.col("hub")))
+                .select(F.col("hub").alias("id_a"),
+                        F.col("id").alias("id_b")))
+        return dense.unionByName(star).distinct()
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])

@@ -189,3 +189,33 @@ def test_duplicate_clusters_keep_one_per_group(spark):
     rows = dedup.duplicate_clusters(pairs).collect()
     keeps = [r["id"] for r in rows if r["id"] == r["cluster_id"]]
     assert sorted(keeps) == [3, 42]
+
+
+def test_lsh_bucket_cap_preserves_components(spark):
+    """A mega-cluster bucket under max_bucket_size switches to star pairs:
+    pair count is linear in cluster size but connected components (and thus
+    dedup clusters) are IDENTICAL to the all-pairs graph."""
+    # 40 identical docs (one mega cluster) + 3 distinct one-off docs + a
+    # small pair, all with >=3 tokens
+    rows = [(i, "exact same template text body here") for i in range(40)]
+    rows += [(100, "completely different words one"),
+             (101, "another unrelated document two"),
+             (200, "small near pair shared text alpha"),
+             (201, "small near pair shared text beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=32)
+
+    allp = dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32)
+    capped = dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32,
+                                       max_bucket_size=10)
+    n_all, n_cap = allp.count(), capped.count()
+    # mega cluster: all-pairs = 40*39/2 = 780; star = 39
+    assert n_all >= 780
+    assert n_cap < n_all / 5          # linear, not quadratic
+
+    c_all = {(r["id"], r["cluster_id"])
+             for r in dedup.duplicate_clusters(allp).collect()}
+    c_cap = {(r["id"], r["cluster_id"])
+             for r in dedup.duplicate_clusters(capped).collect()}
+    assert c_all == c_cap             # identical duplicate groups
