@@ -77,7 +77,9 @@ def closure_table(spark: SparkSession, ontology_edge_rows,
     return spark.createDataFrame(rows, "cls string, src string, dst string")
 
 
-def iterative_closure(edges: DataFrame, max_iters: int = 64) -> DataFrame:
+def iterative_closure(edges: DataFrame, max_iters: int = 64,
+                      namespace_key: str = None,
+                      namespaces: Dict[str, str] = None) -> DataFrame:
     """G2 as an iterative frontier expansion over (child, parent) edges.
 
     Returns (cls, anc) = transitive ancestors, virtual root included per the
@@ -85,17 +87,39 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64) -> DataFrame:
     is one broadcast self-join; terminates at taxonomy depth (<= ~10 for
     DBpedia/schema/YAGO). Provided for taxonomies too large to close in the
     driver; the pipeline default is the precomputed broadcast closure.
+
+    ``namespace_key`` applies the same restriction as the driver-side path
+    (ontologies.py:93-95): parent edges leaving the namespace are dropped
+    BEFORE the parentless test, so classes whose parents all live elsewhere
+    close straight to the virtual root.
     """
-    # root-extended edge set: parentless parents close to the virtual root
-    children = edges.select(F.col("child").alias("c")).distinct()
-    tops = (edges.select(F.col("parent").alias("child")).distinct()
-            .join(children, F.col("child") == F.col("c"), "left_anti")
-            .select("child", F.lit(VIRTUAL_ROOT).alias("parent")))
-    # localCheckpoint truncates lineage each round — without it the logical
-    # plan doubles per iteration (anti-join references the running union) and
-    # Catalyst analysis time grows exponentially.
-    e = (edges.select("child", "parent").unionByName(tops).distinct()
-         .localCheckpoint())
+    if namespace_key is not None:
+        # every class in the original universe whose parents were ALL
+        # filtered out closes straight to the virtual root (the reference's
+        # per-class generate_parents(cls, ns) empty -> root rule) — this
+        # subsumes the parentless-tops rule of the unfiltered branch
+        ns = (namespaces or MANAGED_NAMESPACES)[namespace_key]
+        universe = (edges.select(F.col("child").alias("n"))
+                    .unionByName(edges.select(F.col("parent").alias("n")))
+                    .distinct())
+        kept = edges.filter(F.col("parent").startswith(ns))
+        with_parent = kept.select(F.col("child").alias("n")).distinct()
+        orphans = (universe.join(with_parent, "n", "left_anti")
+                   .select(F.col("n").alias("child"),
+                           F.lit(VIRTUAL_ROOT).alias("parent")))
+        e = (kept.select("child", "parent").unionByName(orphans).distinct()
+             .localCheckpoint())
+    else:
+        # root-extended edge set: parentless parents close to the virtual root
+        children = edges.select(F.col("child").alias("c")).distinct()
+        tops = (edges.select(F.col("parent").alias("child")).distinct()
+                .join(children, F.col("child") == F.col("c"), "left_anti")
+                .select("child", F.lit(VIRTUAL_ROOT).alias("parent")))
+        # localCheckpoint truncates lineage each round — without it the
+        # logical plan doubles per iteration (anti-join references the
+        # running union) and Catalyst analysis time grows exponentially.
+        e = (edges.select("child", "parent").unionByName(tops).distinct()
+             .localCheckpoint())
     # fresh attribute ids for the join side (self-join disambiguation)
     e_j = e.select(F.col("child").alias("j_child"), F.col("parent").alias("j_parent"))
 

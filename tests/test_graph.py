@@ -238,3 +238,18 @@ def test_namespace_filtered_triples_match_oracle(spark, pipeline_result,
             if pred == "subClassOf":
                 assert s.startswith(ns) or s == VIRTUAL_ROOT
                 assert o.startswith(ns) or o == VIRTUAL_ROOT
+
+
+def test_iterative_closure_namespace_matches_precomputed(spark, dims, onto):
+    """The non-broadcastable-taxonomy closure path honors namespace_key with
+    the same semantics as the driver-side walk (parents filtered before the
+    emptiness test; all-parents-elsewhere classes close to the root)."""
+    edges_df = dims["ontology_edges"].select("child", "parent")
+    for ns_key in MANAGED_NAMESPACES:
+        it = {(r["cls"], r["anc"]) for r in
+              G.iterative_closure(edges_df, namespace_key=ns_key).collect()}
+        for cls in onto.all_classes():
+            ce = onto.closure_edges(cls, ns_key)
+            expected = ({p for _, p in ce} | {c for c, _ in ce}) - {cls}
+            got = {anc for c, anc in it if c == cls}
+            assert got == expected, (ns_key, cls)
