@@ -518,12 +518,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup / similarity / text ----------------------------------------
     def d1_exact(spark, sf_dir):
-        d = _docs(spark, sf_dir)
-        norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
-        return (d.groupBy(norm.alias("text_norm"))
-                .agg(F.min("doc_id").cast("long").alias("keep_id"),
-                     F.count("*").cast("long").alias("n_dups"))
-                .select("keep_id", "n_dups"))
+        # drives the REAL operator (128-bit composite hash key); the oracle
+        # groups by the normalized text itself — equal outputs certify the
+        # hash key is injective on the corpus (collision-free grouping)
+        from pysemanticcomplexity_spark.operators.dedup import exact_dedup
+        return (exact_dedup(_docs(spark, sf_dir))
+                .select(F.col("keep_id").cast("long").alias("keep_id"),
+                        F.col("n_dups").cast("long").alias("n_dups")))
     q["D1_exact_dedup"] = d1_exact
 
     def d2_jaccard(spark, sf_dir):

@@ -46,10 +46,22 @@ def _dims(spark, args, *needed):
         path = getattr(args, name.replace("-", "_"), None)
         if path:
             df = spark.read.parquet(path)
-            if name == "gazetteer":
-                out[name] = [tuple(r) for r in df.collect()]
-            elif name == "ontology":
-                out[name] = [tuple(r) for r in df.collect()]
+            # select the documented columns BY NAME (and fail loudly if one
+            # is missing): positional tuple(r) would silently mis-assign
+            # fields when a parquet carries them in a different physical
+            # order — several are strings, so no type error would save us
+            expected = {"gazetteer": ["surface", "uri", "support", "prior",
+                                      "types_csv"],
+                        "ontology": ["child", "parent"]}.get(name)
+            if expected is not None:
+                missing = [c for c in expected if c not in df.columns]
+                if missing:
+                    raise DimensionError(
+                        f"error: --{name} parquet at {path} is missing "
+                        f"required column(s) {missing}; expected {expected}")
+                if name == "ontology" and "ns" in df.columns:
+                    expected = expected + ["ns"]
+                out[name] = [tuple(r) for r in df.select(*expected).collect()]
             else:
                 out[name] = df
         elif args.fixtures:

@@ -51,9 +51,9 @@ def poly_hash_expr(col) -> F.Column:
     return F.aggregate(chars, F.lit(0).cast("long"),
                        lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_MOD)
 
-__all__ = ["normalize_text", "exact_dedup", "shingles", "minhash_signatures",
-           "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash",
-           "simhash_candidate_pairs", "embedding_near_dups",
+__all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
+           "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+           "simhash", "simhash_candidate_pairs", "embedding_near_dups",
            "embedding_near_dups_bruteforce", "duplicate_clusters"]
 
 
@@ -62,19 +62,36 @@ def normalize_text(col) -> F.Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def exact_key_cols(text_col: str = "text") -> list:
+    """The 128-bit composite exact-dup group key: TWO independently-seeded
+    xxhash64 halves over the normal form.
+
+    One 64-bit key is not collision-safe at corpus scale: at 10^12 documents
+    the birthday bound gives ~n^2/2^65 ≈ tens of thousands of colliding
+    pairs, each a silent false merge (distinct docs counted as duplicates).
+    Two independent 64-bit halves push the expected collision count to
+    ~n^2/2^129 ≈ 1e-15 — safe past any real corpus. Both halves are plain
+    JVM intrinsics, so the key is still far cheaper to shuffle than the
+    text itself."""
+    norm = normalize_text(F.col(text_col))
+    return [F.xxhash64(norm).alias("text_key_hi"),
+            F.xxhash64(norm, F.lit(1)).alias("text_key_lo")]
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """One row per distinct normalized text: (keep_id, n_dups).
 
-    keep_id = min id of the group (deterministic winner). Single shuffle with
-    map-side partial aggregation; at 100 TB group by a 128-bit text hash
-    instead of the text itself to shrink shuffle keys — provided via
-    ``group_key='hash'``-like normalization here by hashing explicitly.
+    keep_id = min id of the group (deterministic winner). Single shuffle
+    with map-side partial aggregation, keyed on the 128-bit composite hash
+    from :func:`exact_key_cols` rather than the text itself — shuffle keys
+    are 16 bytes regardless of document size, and the composite key is
+    collision-safe at trillion-document scale (see exact_key_cols).
     """
-    key = F.xxhash64(normalize_text(F.col(text_col))).alias("text_key")
-    return (docs.select(key, F.col(id_col))
-            .groupBy("text_key")
-            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")))
+    return (docs.select(*exact_key_cols(text_col), F.col(id_col))
+            .groupBy("text_key_hi", "text_key_lo")
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+            .select("keep_id", "n_dups"))
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -186,19 +203,36 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, *,
             .select("id_a", "id_b").distinct())
 
 
-def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                        candidates: DataFrame = None) -> DataFrame:
     """Exact Jaccard over shingle sets via equi-join on shingle.
 
     (id_a, id_b, jaccard) for pairs >= threshold. The shingle join only
-    touches docs sharing at least one shingle; at web scale run it on LSH
-    candidates only (join against lsh_candidate_pairs first).
+    touches docs sharing at least one shingle; at web scale pass
+    ``candidates`` (an (id_a, id_b) frame, e.g. from lsh_candidate_pairs)
+    to make this the LSH *verification* stage: shingles are first
+    semi-joined down to docs that appear in any candidate pair, and the
+    intersection counts are then semi-joined to the candidate pairs
+    themselves — the shingle self-join never materializes a pair outside
+    the candidate set. Candidate pairs are order-normalized internally, so
+    either (a, b) or (b, a) restricts the same pair.
     """
+    if candidates is not None:
+        cand = (candidates.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b")).distinct())
+        ids = (cand.select(F.col("id_a").alias("id"))
+               .unionByName(cand.select(F.col("id_b").alias("id")))
+               .distinct())
+        sh = sh.join(ids, "id", "semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (a.join(b, "shingle")
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(cand, ["id_a", "id_b"], "semi")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
@@ -217,11 +251,22 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
 
     The default path is scale-safe: SRP-LSH buckets generate candidate pairs
     (operators/similarity.py — queries and corpus only ever meet inside a
-    shared hash bucket), then exact cosine verifies each candidate. Shuffle
-    cost is O(docs x tables), never O(docs^2). True near-duplicates
-    (cosine -> 1) land in the same bucket in every table, so recall at
-    dedup-grade thresholds is ~1; it decays for low thresholds, where LSH
-    candidate generation is the wrong tool anyway.
+    shared hash bucket), and the cosine ``lsh_topk`` already computed for
+    ranking is reused directly (``return_sim=True``) — no re-join of the
+    vector tables, no second O(candidates x dim) pass. Shuffle cost is
+    O(docs x tables), never O(docs^2). True near-duplicates (cosine -> 1)
+    land in the same bucket in every table, so recall at dedup-grade
+    thresholds is ~1; it decays for low thresholds, where LSH candidate
+    generation is the wrong tool anyway.
+
+    Candidates are order-normalized with least/greatest BEFORE deduplication
+    so a pair survives if EITHER endpoint ranked the other in its top
+    ``candidates_k`` — in a duplicate cluster larger than candidates_k every
+    member still links to the cluster's smallest ids (ties break by
+    neighbor id ascending), so connected components downstream are preserved
+    exactly; the explicit pair list is complete for clusters up to
+    ~candidates_k members and a connectivity-preserving subset beyond (the
+    same contract as lsh_candidate_pairs' max_bucket_size star mode).
 
     ``method='bruteforce'`` (or :func:`embedding_near_dups_bruteforce`) is
     the exact all-pairs crossJoin — the verification oracle for tests and
@@ -229,19 +274,21 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     """
     if method not in ("lsh", "bruteforce"):
         raise ValueError(f"method must be 'lsh' or 'bruteforce', got {method!r}")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    a = emb.select(F.col(id_col).alias("id_a"), v.alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), v.alias("vb"))
     if method == "lsh":
         from .similarity import lsh_topk
         cand = lsh_topk(emb, emb, k=candidates_k, id_col=id_col,
-                        vec_col=vec_col, **lsh_kwargs) \
-            .select(F.col("query_id").alias("id_a"),
-                    F.col("neighbor_id").alias("id_b")) \
-            .filter(F.col("id_a") < F.col("id_b"))
-        pairs = cand.join(a, "id_a").join(b, "id_b")
-    else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                        vec_col=vec_col, return_sim=True, **lsh_kwargs)
+        return (cand.filter(F.col("sim") >= threshold)
+                .select(F.least("query_id", "neighbor_id").alias("id_a"),
+                        F.greatest("query_id", "neighbor_id").alias("id_b"),
+                        F.col("sim").alias("cosine"))
+                .groupBy("id_a", "id_b")
+                .agg(F.max("cosine").alias("cosine"))
+                .select("id_a", "id_b", F.round("cosine", 9).alias("cosine")))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = emb.select(F.col(id_col).alias("id_a"), v.alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), v.alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm_a = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
@@ -332,7 +379,8 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50,
+                       checkpoint_dir: str = None) -> DataFrame:
     """Connected components over candidate pairs: (id, cluster_id) where
     cluster_id = min id reachable through the pair graph.
 
@@ -340,18 +388,33 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     minhash/simhash/embedding candidates are edges; each component is one
     duplicate group, and ``cluster_id`` doubles as the canonical keep id.
 
-    Iterative min-label propagation: each round every node adopts the
-    minimum label in its neighborhood (large-star/small-star style, one
-    shuffle per round); converges in O(log component-diameter) rounds —
-    web-corpus duplicate groups are shallow (near-cliques), so 2-4 rounds in
-    practice. ``localCheckpoint`` truncates lineage per round (mandatory:
-    analysis time grows exponentially otherwise — see graph.iterative_closure).
-    Raises if max_iters rounds do not converge.
+    Iterative min-label propagation WITH pointer jumping: each round every
+    node (1) adopts the minimum label in its neighborhood, then (2) jumps to
+    its label's label (label <- label(label)). Step (2) is what makes the
+    round count genuinely O(log component-diameter) — plain neighborhood-min
+    alone is O(diameter) and a >max_iters-hop chain of chained near-dups
+    (winnowing/simhash pairs) would fail to converge. Web-corpus duplicate
+    groups are near-cliques, so 2-4 rounds in practice; a path graph of
+    length 2^max_iters would still converge.
+
+    Per-round checkpointing truncates lineage (mandatory: the logical plan
+    doubles per round otherwise and Catalyst analysis time grows
+    exponentially — see graph.iterative_closure). Default is
+    ``localCheckpoint`` (executor-local blocks: fast, fine on local[n] and
+    for short jobs, but NOT executor-loss-safe — a lost executor makes the
+    truncated lineage unrecomputable). For cluster runs pass
+    ``checkpoint_dir`` to switch to reliable ``checkpoint()`` into that
+    (HDFS/S3) directory. Raises if max_iters rounds do not converge.
     """
-    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-             .unionByName(pairs.select(F.col("id_b").alias("a"),
-                                       F.col("id_a").alias("b")))
-             .distinct().localCheckpoint())
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint()
+    else:
+        ckpt = lambda df: df.localCheckpoint()
+    edges = ckpt(pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+                 .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                           F.col("id_a").alias("b")))
+                 .distinct())
     labels = (edges.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("label", F.col("id")))
@@ -359,10 +422,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         neigh = (edges.join(labels, edges["b"] == labels["id"])
                  .groupBy(F.col("a").alias("id"))
                  .agg(F.min("label").alias("nmin")))
-        new = (labels.join(neigh, "id", "left")
-               .select("id", F.least("label", F.coalesce("nmin", "label"))
-                       .alias("label"))
-               .localCheckpoint())
+        half = (labels.join(neigh, "id", "left")
+                .select("id", F.least("label", F.coalesce("nmin", "label"))
+                        .alias("label")))
+        # pointer jump: label <- label(label). Labels are always node ids
+        # (invariant: label(x) <= x and label values come from the id set),
+        # so the lookup is a self-join; coalesce guards the invariant.
+        lab2 = half.select(F.col("id").alias("pid"),
+                           F.col("label").alias("plabel"))
+        new = ckpt(half.join(lab2, half["label"] == lab2["pid"], "left")
+                   .select(half["id"].alias("id"),
+                           F.coalesce("plabel", half["label"]).alias("label")))
         changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
                    .filter(F.col("label") != F.col("old")))
         labels = new

@@ -79,7 +79,8 @@ def closure_table(spark: SparkSession, ontology_edge_rows,
 
 def iterative_closure(edges: DataFrame, max_iters: int = 64,
                       namespace_key: str = None,
-                      namespaces: Dict[str, str] = None) -> DataFrame:
+                      namespaces: Dict[str, str] = None,
+                      checkpoint_dir: str = None) -> DataFrame:
     """G2 as an iterative frontier expansion over (child, parent) edges.
 
     Returns (cls, anc) = transitive ancestors, virtual root included per the
@@ -92,7 +93,17 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
     (ontologies.py:93-95): parent edges leaving the namespace are dropped
     BEFORE the parentless test, so classes whose parents all live elsewhere
     close straight to the virtual root.
+
+    Per-round lineage truncation defaults to ``localCheckpoint`` (fast, but
+    executor-local blocks are NOT recomputable after an executor loss); pass
+    ``checkpoint_dir`` (HDFS/S3 on a real cluster) to switch to reliable
+    ``checkpoint()`` for fault-tolerant long runs.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint()
+    else:
+        ckpt = lambda df: df.localCheckpoint()
     if namespace_key is not None:
         # every class in the original universe whose parents were ALL
         # filtered out closes straight to the virtual root (the reference's
@@ -107,8 +118,8 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
         orphans = (universe.join(with_parent, "n", "left_anti")
                    .select(F.col("n").alias("child"),
                            F.lit(VIRTUAL_ROOT).alias("parent")))
-        e = (kept.select("child", "parent").unionByName(orphans).distinct()
-             .localCheckpoint())
+        e = ckpt(kept.select("child", "parent").unionByName(orphans)
+                 .distinct())
     else:
         # root-extended edge set: parentless parents close to the virtual root
         children = edges.select(F.col("child").alias("c")).distinct()
@@ -118,8 +129,8 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
         # localCheckpoint truncates lineage each round — without it the
         # logical plan doubles per iteration (anti-join references the
         # running union) and Catalyst analysis time grows exponentially.
-        e = (edges.select("child", "parent").unionByName(tops).distinct()
-             .localCheckpoint())
+        e = ckpt(edges.select("child", "parent").unionByName(tops)
+                 .distinct())
     # fresh attribute ids for the join side (self-join disambiguation)
     e_j = e.select(F.col("child").alias("j_child"), F.col("parent").alias("j_parent"))
 
@@ -129,10 +140,10 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
         step = (frontier.join(F.broadcast(e_j), frontier["anc"] == e_j["j_child"])
                 .select(frontier["cls"], F.col("j_parent").alias("anc"))
                 .distinct())
-        new = step.join(result, ["cls", "anc"], "left_anti").localCheckpoint()
+        new = ckpt(step.join(result, ["cls", "anc"], "left_anti"))
         if new.isEmpty():
             break
-        result = result.unionByName(new).localCheckpoint()
+        result = ckpt(result.unionByName(new))
         frontier = new
     return result
 

@@ -89,14 +89,32 @@ def _srp_bucket_udf(planes: np.ndarray):
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_tables: int = 8, n_bits: int = 10,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, return_sim: bool = False) -> DataFrame:
     """Approximate top-k via random-hyperplane (SRP) LSH.
 
     Each table hashes a vector to an ``n_bits`` sign pattern; a query only
     scores corpus vectors sharing a bucket in >= 1 table. Recall rises with
     ``n_tables``; cost stays ~bucket-sized. Hyperplanes are seeded and
     deterministic; buckets are computed by a vectorized pandas UDF (one
-    matmul per Arrow batch — the 100 TB hash path)."""
+    matmul per Arrow batch — the 100 TB hash path).
+
+    The cosine is computed map-side on the bucket-join output BEFORE the
+    (query, neighbor) dedup, so the dedup shuffle carries only
+    (long, long, double) — not two dim-sized double vectors. A pair seen in
+    several tables computes its cosine once per table (dim multiply-adds,
+    JVM-side), which is far cheaper than shuffling the vectors; duplicate
+    rows carry bit-identical sims, so which one survives is immaterial.
+
+    ``return_sim=True`` appends the cosine as a ``sim`` column so callers
+    (e.g. dedup.embedding_near_dups) can threshold on it without re-joining
+    the vector tables.
+
+    Cross-engine note: bucket bits are signs of BLAS-accumulated dot
+    products; an engine re-deriving them with sequential summation (the SQL
+    oracles) could flip a bit when a projection lands within float rounding
+    of 0 — a measure-zero event for continuous data that has never fired in
+    practice; seeded fixtures make any occurrence deterministic and visible.
+    """
     planes = srp_planes(dim, n_tables, n_bits, seed)
     bucket_udf = _srp_bucket_udf(planes)
 
@@ -108,18 +126,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     c = prep(corpus, "neighbor_id").withColumnRenamed("v", "cvec")
     q = prep(queries, "query_id").withColumnRenamed("v", "qvec")
-    cand = (c.join(q, ["table", "bucket"])
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "cvec", "qvec")
-            .dropDuplicates(["query_id", "neighbor_id"]))
-    sim = cand.select(
-        "query_id", "neighbor_id",
-        (_dot(F.col("cvec"), F.col("qvec"))
-         / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("sim"))
+    sim = (c.join(q, ["table", "bucket"])
+           .filter(F.col("neighbor_id") != F.col("query_id"))
+           .select("query_id", "neighbor_id",
+                   (_dot(F.col("cvec"), F.col("qvec"))
+                    / (_norm(F.col("cvec")) * _norm(F.col("qvec"))))
+                   .alias("sim"))
+           .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    cols = ["query_id", "neighbor_id", "rank"] + (["sim"] if return_sim else [])
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank"))
+            .select(*cols))
 
 
 def ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
@@ -133,6 +151,11 @@ def ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
     the SQL oracle, which inlines the same centroids as literals."""
     rng = np.random.RandomState(seed)
     x = np.asarray(sample, dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(
+            f"ivf_centroids needs a training sample of at least n_centroids="
+            f"{n_centroids} vectors, got {len(x)} — enlarge the sample or "
+            f"lower n_centroids")
     cents = x[rng.choice(len(x), size=n_centroids, replace=False)].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

@@ -219,3 +219,77 @@ def test_lsh_bucket_cap_preserves_components(spark):
     c_cap = {(r["id"], r["cluster_id"])
              for r in dedup.duplicate_clusters(capped).collect()}
     assert c_all == c_cap             # identical duplicate groups
+
+
+def test_exact_dedup_key_is_128bit_composite(spark, docs):
+    """The group key must be TWO independently-seeded xxhash64 halves
+    (collision safety at trillion-doc scale): both halves in the key cols,
+    and both present as grouping keys in the optimized plan."""
+    cols = dedup.exact_key_cols()
+    assert len(cols) == 2
+    plan = dedup.exact_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") >= 2
+    assert "text_key_hi" in plan and "text_key_lo" in plan
+    # the two halves are genuinely independent hash values
+    row = docs.limit(1).select(*dedup.exact_key_cols()).collect()[0]
+    assert row["text_key_hi"] != row["text_key_lo"]
+
+
+def test_jaccard_candidate_restriction(spark, docs):
+    """candidates= makes ngram_jaccard_pairs the LSH verification stage:
+    output == unrestricted output semi-joined to the candidate set, for
+    candidates given in either id order."""
+    sh = dedup.shingles(docs, n=3)
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(sh, threshold=0.2).collect()}
+    # restrict to two real pairs (one order-flipped) + one bogus pair
+    cand = spark.createDataFrame([(1, 0), (0, 3), (0, 4)],
+                                 "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(sh, threshold=0.2,
+                                              candidates=cand).collect()}
+    assert got == {k: v for k, v in full.items() if k in {(0, 1), (0, 3)}}
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """Pointer jumping makes convergence O(log diameter): a 200-hop chain
+    (plain neighborhood-min would need ~200 rounds) must converge within a
+    dozen rounds and collapse to one component."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches localCheckpoint -> reliable checkpoint():
+    same result, and the checkpoint directory is actually used."""
+    import os
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    ckdir = str(tmp_path / "ck")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs,
+                                             checkpoint_dir=ckdir).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.listdir(ckdir), "reliable checkpoint dir should be non-empty"
+
+
+def test_embedding_near_dups_mega_cluster_connectivity(spark):
+    """A duplicate cluster LARGER than candidates_k must stay fully
+    connected: least/greatest pair normalization keeps every member's link
+    to the cluster's smallest ids even when top-k truncates its list."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base * (1.0 + 0.5 * i)])  # colinear
+            for i in range(12)]
+    rows += [(100 + i, [float(x) for x in rng.randn(16)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dups(df, threshold=0.999, dim=16,
+                                      candidates_k=4)
+    clusters = {r["id"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(pairs).collect()}
+    assert {i for i in clusters} >= set(range(12))
+    assert {clusters[i] for i in range(12)} == {0}   # ONE component

@@ -253,3 +253,18 @@ def test_iterative_closure_namespace_matches_precomputed(spark, dims, onto):
             expected = ({p for _, p in ce} | {c for c, _ in ce}) - {cls}
             got = {anc for c, anc in it if c == cls}
             assert got == expected, (ns_key, cls)
+
+
+def test_iterative_closure_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= swaps localCheckpoint for reliable checkpoint():
+    closure result identical, checkpoint dir actually written."""
+    import os
+    from pysemanticcomplexity_spark.operators.graph import iterative_closure
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "child string, parent string")
+    plain = {(r["cls"], r["anc"]) for r in iterative_closure(edges).collect()}
+    ckdir = str(tmp_path / "ck_closure")
+    ck = {(r["cls"], r["anc"])
+          for r in iterative_closure(edges, checkpoint_dir=ckdir).collect()}
+    assert ck == plain
+    assert os.listdir(ckdir)

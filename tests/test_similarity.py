@@ -111,3 +111,26 @@ def test_ivf_centroids_deterministic():
     assert np.array_equal(a, b)
     # training actually moves centroids toward cluster structure
     assert not np.array_equal(a, x[:8])
+
+
+def test_lsh_topk_return_sim(spark, emb):
+    """return_sim=True appends the cosine; ranking/columns otherwise equal,
+    and sim agrees with the exact cosine for the returned pairs."""
+    df, vecs = emb
+    q = df.filter("vec_id < 5")
+    base = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in similarity.lsh_topk(df, q, k=3, dim=DIM).collect()}
+    rich = similarity.lsh_topk(df, q, k=3, dim=DIM, return_sim=True).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rich} == base
+    v64 = vecs.astype(np.float64)
+    for r in rich:
+        a, b = v64[r["query_id"]], v64[r["neighbor_id"]]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["sim"] - exact) < 1e-9
+
+
+def test_ivf_centroids_rejects_small_sample():
+    import numpy as np
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_centroids"):
+        similarity.ivf_centroids(np.ones((3, 4)), n_centroids=8)
