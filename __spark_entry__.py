@@ -704,6 +704,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               for i in range(8)])
     q["MM2_image_decode"] = mm2_image_decode
 
+    def mm3_png_decode(spark, sf_dir):
+        # REAL pure numpy+zlib PNG decode (multimodal._decode_png) over
+        # deterministic synthetic 4x3 RGB PNGs: pixel byte j of doc d is
+        # (d*7 + j*31) % 256, rows filtered with (d+y) % 3 in {None, Sub,
+        # Up} so the driver check exercises the filter reversal; DuckDB
+        # derives the expected geometry/channel stats from doc_id alone
+        from pysemanticcomplexity_spark.operators.multimodal import decode_images
+
+        def _make(ids):
+            import binascii
+            import struct
+            import zlib as _z
+            W, H, NCH = 4, 3, 3
+
+            def enc(d):
+                d = int(d)
+                stride = W * NCH
+                pixels = [(d * 7 + j * 31) % 256 for j in range(H * stride)]
+                raw, prev = b"", [0] * stride
+                for y in range(H):
+                    cur = pixels[y * stride:(y + 1) * stride]
+                    f = (d + y) % 3
+                    if f == 0:
+                        e = cur[:]
+                    elif f == 1:                      # Sub
+                        e = cur[:]
+                        for i in range(stride - 1, NCH - 1, -1):
+                            e[i] = (cur[i] - cur[i - NCH]) % 256
+                    else:                             # Up
+                        e = [(cur[i] - prev[i]) % 256 for i in range(stride)]
+                    raw += bytes([f]) + bytes(e)
+                    prev = cur
+
+                def chunk(t, data):
+                    return (struct.pack(">I", len(data)) + t + data
+                            + struct.pack(">I",
+                                          binascii.crc32(t + data) & 0xFFFFFFFF))
+                ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+                return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", _z.compress(raw))
+                        + chunk(b"IEND", b""))
+            return ids.map(enc)
+
+        make_png = F.pandas_udf(_make, "binary")
+        imgs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), make_png("doc_id").alias("payload"))
+        dec = decode_images(imgs)
+        return dec.select(
+            "id", F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+            F.col("channels").cast("long").alias("channels"),
+            *[F.round(F.get("features", i).cast("double"), 4).alias(f"f{i}")
+              for i in range(8)])
+    q["MM3_png_decode"] = mm3_png_decode
+
     # ---- rows-only entries (non-SQL-expressible; weaker driver check) -----
     def kg_triples_full(spark, sf_dir):
         from pysemanticcomplexity_spark.pipeline import KGPipeline
@@ -734,6 +789,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           dims["instance_types"], dims["kb_triples"])
         return pipe.run_fused(pages, persist_docs=False).triples
     q["KG_pipeline_triples_fused"] = kg_triples_fused
+
+    # ---- derived-statistic oracles for the FULL fused pipeline ----------
+    # The annotator itself is not SQL-expressible (longest-match scan), so
+    # KG_pipeline_* above are rows-only; these two queries give the fused
+    # production path a hash-grade driver check anyway: DuckDB re-derives
+    # the same statistics through the independent SQL mention model
+    # (MENTIONS_SQL + closure CTEs), which the annotator provably equals
+    # (ref-oracle P/R = 1.0 in pytest, G3 oracle green).
+    def kg_pred_counts(spark, sf_dir):
+        t = kg_triples_fused(spark, sf_dir)
+        return (t.groupBy("pred")
+                .agg(F.count("*").cast("long").alias("n_triples"),
+                     F.countDistinct("url").cast("long").alias("n_docs")))
+    q["KG_pred_counts"] = kg_pred_counts
+
+    def kg_triples_checksum(spark, sf_dir):
+        # order-independent polynomial checksum over every (doc, subj,
+        # pred, obj) of the fused pipeline's output; the doc key is the
+        # numeric tail of the url (pages_from_documents embeds doc_id)
+        from pysemanticcomplexity_spark.operators.dedup import (
+            POLY_MOD, poly_hash_expr)
+        t = kg_triples_fused(spark, sf_dir)
+        row = F.concat_ws("|", F.regexp_extract("url", r"/(\d+)$", 1),
+                          "subj", "pred", "obj")
+        return t.agg((F.sum(poly_hash_expr(row)) % F.lit(POLY_MOD))
+                     .cast("long").alias("checksum"),
+                     F.count("*").cast("long").alias("n_triples"))
+    q["KG_triples_checksum"] = kg_triples_checksum
 
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
@@ -942,6 +1025,149 @@ m AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url, uri FROM mentions)
 SELECT m.url, CAST(count(DISTINCT c.type_uri) AS BIGINT) AS n_classes
 FROM m JOIN canon c ON m.uri = c.uri
 GROUP BY m.url
+"""
+
+    # -- independent SQL derivation of the PRODUCTION pipeline's triples ----
+    # The fused/staged pipeline annotates with greedy longest-match over
+    # cleaned, >150-char paragraphs. That scan IS exactly expressible here
+    # because the fixture gazetteer's surfaces have at most 2 tokens: a
+    # position is skipped iff it is consumed as the 2nd token of a 2-token
+    # match at the previous VISITED position, and within a run of
+    # consecutive 2-token-match positions visits simply alternate — a
+    # closed form over window functions (no recursion). The effective
+    # surface -> uri mapping (disambiguation winner, or NULL when the best
+    # similarity < confidence 0.5 — the span is still consumed) is derived
+    # independently from the fixture rows below and inlined as literals,
+    # the same trick as the centroid/hyperplane literal oracles.
+    eff = {}
+    by_key: dict = {}
+    for _s, _u, _sup, _prior, _t in fixtures.gazetteer():
+        by_key.setdefault(_s.lower(), []).append((_u, float(_prior)))
+    max_surface_tokens = max(k.count(" ") + 1 for k in by_key)
+    assert max_surface_tokens == 2, \
+        "the vectorized scan oracle below assumes <=2-token surfaces"
+    for _k, _cs in by_key.items():
+        _total = sum(p for _, p in _cs) or 1.0
+        _scored = sorted(((p / _total, u) for u, p in _cs),
+                         key=lambda t: (-t[0], t[1]))
+        eff[_k] = _scored[0][1] if _scored[0][0] >= 0.5 else None
+    surf_values = ",\n".join(
+        "('%s', %d, %s)" % (k.replace("'", "''"), k.count(" ") + 1,
+                            ("'" + v + "'") if v else "NULL")
+        for k, v in sorted(eff.items()))
+    PROD_MENTIONS_SQL = rf"""surf(key, k, uri) AS (VALUES {surf_values}),
+cleaned AS (
+  SELECT doc_id,
+         regexp_replace(text, '[\x00-\x09\x0b-\x1f\x80-\x9e]', ' ', 'g') AS t
+  FROM documents),
+kept AS (
+  SELECT doc_id, p.para
+  FROM (SELECT doc_id, unnest(str_split(t, chr(10)||chr(10))) AS para
+        FROM cleaned) p
+  WHERE length(p.para) > 150),
+ptoks AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS pid,
+         list_transform(regexp_extract_all(para, '\w+'), x -> lower(x)) AS toks
+  FROM kept),
+positions AS (
+  SELECT doc_id, pid, g.i
+  FROM (SELECT doc_id, pid, len(toks) AS n FROM ptoks) n,
+       UNNEST(generate_series(1, n.n)) AS g(i)),
+best AS (
+  SELECT doc_id, pid, i, max(s.k) AS k, arg_max(s.uri, s.k) AS uri
+  FROM ptoks, UNNEST(generate_series(1, len(toks))) AS g(i)
+  JOIN surf s ON s.key = array_to_string(list_slice(toks, i, i + s.k - 1), ' ')
+  GROUP BY doc_id, pid, i),
+flags AS (
+  SELECT p.doc_id, p.pid, p.i, COALESCE(b.k = 2, FALSE) AS m2, b.uri
+  FROM positions p
+  LEFT JOIN best b ON b.doc_id = p.doc_id AND b.pid = p.pid AND b.i = p.i),
+vis AS (
+  SELECT doc_id, pid, i, uri,
+         ((i - 1 - COALESCE(MAX(CASE WHEN m2 THEN NULL ELSE i END)
+            OVER (PARTITION BY doc_id, pid ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+          % 2 = 0) AS visited
+  FROM flags),
+prod_m AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS url, uri FROM vis
+  WHERE visited AND uri IS NOT NULL)"""
+
+    # the pipeline's type assembly (P8) merges the KB instance types with
+    # the mentions' gazetteer spotlight types (canonicalized; unmanaged
+    # forms like 'DBpedia:*' with the wrong key case are dropped). The
+    # per-uri spotlight types are static in the fixture (one types_csv per
+    # uri across all its surfaces), so they inline as literals after an
+    # independent Python re-derivation of P7 canonicalization:
+    from pysemanticcomplexity_spark import MANAGED_NAMESPACES
+
+    def _canon_py(t):
+        cands = []
+        for order, (key, ns) in enumerate(MANAGED_NAMESPACES.items()):
+            if t.startswith(key + ":"):
+                suf = t[len(key) + 1:]
+            elif t.startswith(ns):
+                suf = t[len(ns):]
+            else:
+                continue
+            cands.append((len(suf), order, ns + suf))
+        return min(cands)[2] if cands else None
+
+    spot = set()
+    for _s, _u, _sup, _prior, _tcsv in fixtures.gazetteer():
+        for _t in (_tcsv.split(",") if _tcsv else []):
+            _c = _canon_py(_t)
+            if _c:
+                spot.add((_u, _c))
+    spot_values = ",\n".join(f"('{u}', '{t}')" for u, t in sorted(spot))
+
+    # shared CTE chain: the production mention model above feeding the same
+    # triple derivation as G3/M_graph_density — used by the
+    # derived-statistic checks over the FUSED production pipeline
+    kg_triples_ctes = f"""WITH RECURSIVE {PROD_MENTIONS_SQL}, {ITYPES_CTE}, {ONTO_CTE},
+{CLOSURE_EDGES_SQL},
+spot(uri, type_uri) AS (VALUES {spot_values}),
+canon AS (SELECT uri, type_uri FROM itypes WHERE {ns_ok}
+          UNION SELECT uri, type_uri FROM spot),
+m AS (SELECT url, uri FROM prod_m),
+has_type AS (
+  SELECT DISTINCT m.url, m.uri AS subj, 'hasType' AS pred, c.type_uri AS obj
+  FROM m JOIN canon c ON m.uri = c.uri),
+typeless AS (
+  SELECT m.url, m.uri AS subj, 'hasType' AS pred, '{ROOT}' AS obj
+  FROM m LEFT JOIN canon c ON m.uri = c.uri WHERE c.type_uri IS NULL),
+doc_cls AS (SELECT DISTINCT m.url, c.type_uri AS cls
+            FROM m JOIN canon c ON m.uri = c.uri),
+sub_cls AS (
+  SELECT DISTINCT dc.url,
+         COALESCE(ce.src, dc.cls) AS subj, 'subClassOf' AS pred,
+         COALESCE(ce.dst, '{ROOT}') AS obj
+  FROM doc_cls dc LEFT JOIN ce ON dc.cls = ce.cls),
+triples AS (
+  SELECT DISTINCT url, subj, pred, obj FROM (
+    SELECT * FROM has_type UNION ALL SELECT * FROM typeless
+    UNION ALL SELECT * FROM sub_cls))"""
+
+    o["KG_pred_counts"] = f"""
+{kg_triples_ctes}
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+FROM triples GROUP BY pred
+"""
+
+    o["KG_triples_checksum"] = f"""
+{kg_triples_ctes}
+SELECT CAST(sum(h) % 1000000007 AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM (
+  SELECT CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          str_split(url || '|' || subj || '|' || pred
+                                    || '|' || obj, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS h
+  FROM triples)
 """
 
     o["Q1_lineitem_agg"] = """
@@ -1236,6 +1462,36 @@ SELECT id, CAST(2 AS BIGINT) AS height, CAST(3 AS BIGINT) AS width,
        {", ".join(chan_cols[:2])}, {", ".join(chan_cols[2:4])},
        {", ".join(chan_cols[4:])},
        round(2.0 / 3.0, 4) AS f6,
+       round(list_avg(p) / 255.0, 4) AS f7
+FROM px
+"""
+
+    # PNG variant (4x3 image, same pixel-byte formula): the payload format
+    # differs (PNG with per-row filters vs raw PPM) but the decoded pixels
+    # — and therefore the expected statistics — derive from doc_id alone
+    def _chan_png(c):
+        elems = [f"p[{c + 3 * r + 1}]" for r in range(12)]
+        mean = "(" + " + ".join(elems) + ") / 12.0"
+        sq = "(" + " + ".join(f"{e}*{e}" for e in elems) + ") / 12.0"
+        return mean, sq
+
+    png_cols = []
+    for c in range(3):
+        mean, sq = _chan_png(c)
+        png_cols.append(f"round(({mean}) / 255.0, 4) AS f{c}")
+        png_cols.append(
+            f"round(sqrt(({sq}) - ({mean}) * ({mean})) / 255.0, 4) AS f{c + 3}")
+    o["MM3_png_decode"] = f"""
+WITH px AS (
+  SELECT doc_id AS id,
+         list_transform(generate_series(0, 35),
+                        j -> CAST((doc_id * 7 + j * 31) % 256 AS DOUBLE)) AS p
+  FROM documents)
+SELECT id, CAST(3 AS BIGINT) AS height, CAST(4 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS channels,
+       {", ".join(png_cols[:2])}, {", ".join(png_cols[2:4])},
+       {", ".join(png_cols[4:])},
+       round(3.0 / 4.0, 4) AS f6,
        round(list_avg(p) / 255.0, 4) AS f7
 FROM px
 """

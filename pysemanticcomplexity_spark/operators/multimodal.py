@@ -3,19 +3,21 @@
 * ``binary_metadata``  — pure-JVM sniffing: payload size + magic-byte format
   detection (works on real bytes);
 * ``decode_images``    — mapInPandas kernel with the (binary -> height,
-  width, channels, features) contract. Uncompressed formats (binary PPM
-  ``P6``, 24-bit uncompressed BMP) are decoded FOR REAL in pure numpy —
-  header parse, row-padding/bottom-up/BGR handling, per-channel statistics.
-  Compressed formats (png/jpeg/...) need PIL/opencv, which are not in this
-  container: they raise NotImplementedError unless ``fake=True``, which
-  derives a deterministic fake geometry/feature vector from the byte content
-  (so the distributed path, schema, and batching stay exercised for every
-  format);
+  width, channels, features) contract. Binary PPM ``P6``, 24-bit
+  uncompressed BMP, AND non-interlaced 8-bit RGB/RGBA PNG are decoded FOR
+  REAL in pure numpy (+ stdlib zlib for PNG): header/chunk parse,
+  row-padding/bottom-up/BGR handling, full PNG scanline filter reversal
+  (None/Sub/Up/Average/Paeth), per-channel statistics. Formats that need a
+  codec library (jpeg/gif/video; PIL/opencv are not in this container)
+  raise NotImplementedError unless ``fake=True``, which derives a
+  deterministic fake geometry/feature vector from the byte content (so the
+  distributed path, schema, and batching stay exercised for every format);
 * ``frame_sample``     — video frame-sampling contract (stubbed the same way).
 """
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -92,10 +94,85 @@ def _decode_bmp(buf: bytes):
     return h, w, px[..., ::-1]          # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(buf: bytes):
+    """Non-interlaced 8-bit truecolor PNG (color types 2=RGB, 6=RGBA) in
+    pure numpy + stdlib zlib: chunk walk (IHDR geometry, IDAT concatenation),
+    one zlib inflate, then per-scanline reversal of the five PNG filters
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth). Up/None rows are vectorized;
+    Sub/Average/Paeth are sequential along the row by definition (each byte
+    depends on the reconstructed left neighbor). Raises NotImplementedError
+    for interlaced / paletted / non-8-bit images (honest scope: those need a
+    wider codec, not more math)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG decode: missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or interlace != 0 or nch not in (3, 4):
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit RGB/RGBA PNG supported "
+            f"(depth={depth} color_type={color} interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        cur = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int64)
+        if f == 0:
+            pass
+        elif f == 1:                        # Sub: left neighbor
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif f == 2:                        # Up: row above
+            cur = (cur + prev) & 0xFF
+        elif f == 3:                        # Average: (left + up) // 2
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:                        # Paeth predictor
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return h, w, out.reshape(h, w, nch)
+
+
 def _real_features(h: int, w: int, px: np.ndarray):
     """8 features: per-channel mean and population std (/255), aspect ratio
-    h/w, global mean (/255) — all float64 before the float32 cast."""
-    flat = px.reshape(-1, 3).astype(np.float64)
+    h/w, global mean (/255) — all float64 before the float32 cast. For RGBA
+    inputs the statistics cover the RGB planes (alpha is coverage, not
+    color); the actual channel count is reported separately."""
+    flat = px.reshape(-1, px.shape[2])[:, :3].astype(np.float64)
     means = flat.mean(axis=0) / 255.0
     stds = flat.std(axis=0) / 255.0
     return [means[0], means[1], means[2], stds[0], stds[1], stds[2],
@@ -122,14 +199,22 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                    "features": []}
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 buf = bytes(payload or b"")
-                if buf[:2] == b"P6":
-                    h, w, px = _decode_ppm(buf)
+                px = None
+                try:
+                    if buf[:2] == b"P6":
+                        h, w, px = _decode_ppm(buf)
+                    elif buf[:2] == b"BM":
+                        h, w, px = _decode_bmp(buf)
+                    elif buf[:8] == _PNG_SIG:
+                        h, w, px = _decode_png(buf)
+                except (ValueError, NotImplementedError):
+                    if not fake:    # fake=True: corrupt/out-of-scope payloads
+                        raise       # fall through to the plumbing fake
+                    px = None
+                if px is not None:
                     feats = np.asarray(_real_features(h, w, px),
                                        dtype=np.float32)
-                elif buf[:2] == b"BM":
-                    h, w, px = _decode_bmp(buf)
-                    feats = np.asarray(_real_features(h, w, px),
-                                       dtype=np.float32)
+                    nch = int(px.shape[2])
                 elif fake:
                     h = 1 + (len(buf) % 512)
                     w = 1 + ((len(buf) * 7) % 512)
@@ -137,15 +222,16 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                                         dtype=np.uint8)
                     feats = (arr.reshape(feature_dim, -1).mean(axis=1)
                              / 255.0).astype(np.float32)
+                    nch = 3
                 else:
                     raise NotImplementedError(
-                        "compressed-image decode requires PIL/opencv (absent "
-                        "here); PPM/BMP decode for real, or pass fake=True "
-                        "for the plumbing path")
+                        "jpeg/gif decode requires PIL/opencv (absent here); "
+                        "PPM/BMP/PNG decode for real, or pass fake=True for "
+                        "the plumbing path")
                 out["id"].append(int(i))
                 out["height"].append(int(h))
                 out["width"].append(int(w))
-                out["channels"].append(3)
+                out["channels"].append(nch)
                 out["features"].append(feats.tolist())
             yield pd.DataFrame(out)
 
