@@ -7,8 +7,10 @@ online, not as a batch afterthought. Two shapes:
   normalized-text hash, using ``dropDuplicatesWithinWatermark``: state for a
   key is kept only within the event-time watermark, so state size is bounded
   by the dedup horizon (duplicates in a web crawl cluster in time — recrawls
-  / mirror bursts), not by corpus size. The key is the same
-  xxhash64(normalized text) used by the batch ``operators/dedup.exact_dedup``.
+  / mirror bursts), not by corpus size. The key is the same 128-bit
+  composite hash (two seeded xxhash64 halves) as the batch
+  ``operators/dedup.exact_dedup`` — one 64-bit key silently false-merges
+  at trillion-doc scale (see dedup.exact_key_cols).
 * ``streaming_dup_counts`` — per-key duplicate counters via a stateful
   ``applyInPandasWithState`` operator (custom state: count + first id),
   emitting updated (text_key, n_seen, keep_id) rows each batch — the
@@ -30,7 +32,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.dedup import normalize_text
+from ..operators.dedup import exact_key_cols
 
 __all__ = ["streaming_exact_dedup", "streaming_dup_counts"]
 
@@ -43,9 +45,10 @@ def streaming_exact_dedup(stream: DataFrame, ts_col: str = "warc_ts",
     passes it — bounded state at unbounded input."""
     return (stream
             .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-            .withColumn("text_key", F.xxhash64(normalize_text(F.col(text_col))))
+            .withColumns(dict(zip(["text_key_hi", "text_key_lo"],
+                                  exact_key_cols(text_col))))
             .withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(["text_key"]))
+            .dropDuplicatesWithinWatermark(["text_key_hi", "text_key_lo"]))
 
 
 _DUP_STATE = T.StructType([
@@ -54,7 +57,8 @@ _DUP_STATE = T.StructType([
 ])
 
 _DUP_OUT = T.StructType([
-    T.StructField("text_key", T.LongType(), False),
+    T.StructField("text_key_hi", T.LongType(), False),
+    T.StructField("text_key_lo", T.LongType(), False),
     T.StructField("n_seen", T.LongType(), False),
     T.StructField("keep_id", T.LongType(), False),
 ])
@@ -62,7 +66,7 @@ _DUP_OUT = T.StructType([
 
 def streaming_dup_counts(stream: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """Running (text_key, n_seen, keep_id) via custom keyed state
+    """Running (text_key_hi, text_key_lo, n_seen, keep_id) via custom keyed state
     (applyInPandasWithState): keep_id is the minimum id ever seen for the
     key (deterministic winner, same rule as batch exact_dedup); n_seen the
     total row count. Update output mode; one emitted row per updated key per
@@ -77,13 +81,12 @@ def streaming_dup_counts(stream: DataFrame, id_col: str = "doc_id",
             batch_min = int(pdf["id"].min())
             keep = batch_min if keep is None else min(keep, batch_min)
         state.update((n, keep))
-        yield pd.DataFrame({"text_key": [key[0]], "n_seen": [n],
-                            "keep_id": [keep]})
+        yield pd.DataFrame({"text_key_hi": [key[0]], "text_key_lo": [key[1]],
+                            "n_seen": [n], "keep_id": [keep]})
 
     keyed = stream.select(
-        F.xxhash64(normalize_text(F.col(text_col))).alias("text_key"),
-        F.col(id_col).alias("id"))
-    return (keyed.groupBy("text_key")
+        *exact_key_cols(text_col), F.col(id_col).alias("id"))
+    return (keyed.groupBy("text_key_hi", "text_key_lo")
             .applyInPandasWithState(update, outputStructType=_DUP_OUT,
                                     stateStructType=_DUP_STATE,
                                     outputMode="update",

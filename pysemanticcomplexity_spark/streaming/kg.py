@@ -25,18 +25,25 @@ def streaming_triples_available_now(spark: SparkSession, src_dir: str,
                                     dest_dir: str, checkpoint_dir: str,
                                     gazetteer_rows, ontology_edge_rows,
                                     instance_types_df, kb_triples_df,
-                                    confidence: float = 0.5):
+                                    confidence: float = 0.5,
+                                    max_files_per_trigger: int = None):
     """Drain page files from ``src_dir`` once (Trigger.AvailableNow),
     emitting (url, subj, pred, obj) triples to a parquet sink.
 
     Dimensions are broadcast once at query start (they are static relative
     to a drain); restarting with the same checkpoint skips already-processed
-    files. Returns the started StreamingQuery.
+    files. ``max_files_per_trigger`` paces the drain into bounded
+    micro-batches (AvailableNow honors it as the per-batch admission cap) —
+    the knob that keeps a backlogged crawl from admitting the whole backlog
+    as one giant batch. Returns the started StreamingQuery.
     """
     state = fused.build_broadcast_state(
         spark, gazetteer_rows, ontology_edge_rows,
         instance_types_df, kb_triples_df, confidence)
-    stream = spark.readStream.schema(PAGES).parquet(src_dir)
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
     docs = fused.fused_docs(spark, stream, state, with_features=False)
     triples = (docs.select("url", F.explode("triples").alias("t"))
                .select("url", "t.subj", "t.pred", "t.obj"))

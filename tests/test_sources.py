@@ -156,7 +156,8 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     n_groups = exact_dedup(all_pages, id_col="url", text_col="text").count()
     assert got.count() == n_groups              # one survivor per text group
     # survivors are themselves duplicate-free
-    assert got.groupBy("text_key").count().filter("count > 1").isEmpty()
+    assert got.groupBy("text_key_hi", "text_key_lo").count() \
+        .filter("count > 1").isEmpty()
 
 
 def test_streaming_dup_counts_stateful(spark, tmp_path):
@@ -196,9 +197,10 @@ def test_streaming_dup_counts_stateful(spark, tmp_path):
     # latest emission per key wins (update-mode emissions accumulate in files)
     latest = {}
     for r in rows:
-        cur = latest.get(r["text_key"])
+        k = (r["text_key_hi"], r["text_key_lo"])
+        cur = latest.get(k)
         if cur is None or r["n_seen"] > cur["n_seen"]:
-            latest[r["text_key"]] = r
+            latest[k] = r
     by_count = sorted((r["n_seen"], r["keep_id"]) for r in latest.values())
     # "aaa bbb": seen 3x total (ids 10,12 then 5 -> keep_id 5);
     # "ccc ddd" and "eee fff": once each
