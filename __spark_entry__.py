@@ -850,7 +850,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # centroids; k-means training itself is covered in pytest
         import numpy as np
         from pysemanticcomplexity_spark.operators.similarity import ivf_topk
+        # spherical quantizer: the testdata embeddings are unit-norm, so
+        # centroids must be unit-norm too — unnormalized randn centroids
+        # degenerate to ONE cell (the smallest-norm centroid wins every
+        # argmin) and IVF prunes nothing
         cents = np.random.RandomState(7).randn(16, 64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5,
                         centroids=cents, nprobe=4)
@@ -1804,6 +1809,7 @@ FROM r WHERE rank <= 5
     # cosine rank) is replicated, so rows match exactly
     import numpy as np
     cents = np.random.RandomState(7).randn(16, 64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     cc = (cents ** 2).sum(axis=1)
     d_exprs = ", ".join(
         f"list_dot_product(v, v) - 2 * list_dot_product(v, {_lit_arr(cents[c])})"

@@ -101,10 +101,14 @@ def test_cli_accepts_parquet_dimension_overrides(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     fixtures.spark_pages(spark, 10).write.parquet(pages_dir)
     gaz_path = str(tmp_path / "gaz")
+    # columns deliberately written in a SHUFFLED physical order: the CLI
+    # must select the documented names, not trust positional layout
     spark.createDataFrame(
         fixtures.gazetteer(),
-        "surface string, uri string, support long, prior double, types string"
-    ).write.parquet(gaz_path)
+        "surface string, uri string, support long, prior double, "
+        "types_csv string"
+    ).select("types_csv", "prior", "surface", "support", "uri") \
+        .write.parquet(gaz_path)
 
     out = str(tmp_path / "concepts")
     cli.main(["texts2concepts", pages_dir, out,

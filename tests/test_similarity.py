@@ -134,3 +134,27 @@ def test_ivf_centroids_rejects_small_sample():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_centroids"):
         similarity.ivf_centroids(np.ones((3, 4)), n_centroids=8)
+
+
+def test_ivf_blas_kernel_matches_expr(spark, emb):
+    """kernel='blas' (per-cell matmul, the FAISS scan shape) returns the
+    same neighbors as the default expression kernel; ranks agree everywhere
+    sims are not exact ties (random fixture: no ties)."""
+    df, vecs = emb
+    cents = np.random.RandomState(7).randn(16, DIM)
+    q = df.filter("vec_id < 10")
+    a = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in similarity.ivf_topk(df, q, k=4, centroids=cents,
+                                      nprobe=4).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in similarity.ivf_topk(df, q, k=4, centroids=cents,
+                                      nprobe=4, kernel="blas").collect()}
+    assert a == b
+
+
+def test_ivf_rejects_unknown_kernel(spark, emb):
+    df, _ = emb
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="kernel"):
+        similarity.ivf_topk(df, df, centroids=np.zeros((4, DIM)),
+                            kernel="nope")
