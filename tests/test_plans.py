@@ -72,3 +72,19 @@ def test_sql_mention_model_single_codegen_stage(spark):
     assert plans.has_wholestage_codegen(df)
     assert plans.read_schema_of_scan(df) != "" and \
         "text" in plans.read_schema_of_scan(df)
+
+
+def test_embedding_near_dups_no_second_vector_join(spark):
+    """The LSH near-dup path must reuse lsh_topk's cosine (return_sim)
+    rather than re-joining both vector tables: exactly ONE join in the
+    plan (the bucket equi-join) and exactly 2 scans of the vector source."""
+    from pysemanticcomplexity_spark.operators.dedup import embedding_near_dups
+    import numpy as np
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plans.executed_plan(embedding_near_dups(emb, dim=8))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert n_joins == 1, plan
