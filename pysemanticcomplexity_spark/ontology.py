@@ -23,6 +23,8 @@ from . import MANAGED_NAMESPACES, VIRTUAL_ROOT
 
 __all__ = ["OntologyIndex"]
 
+_CANON_MISS = object()      # memo sentinel (None is a valid cached result)
+
 
 class OntologyIndex:
     """Immutable taxonomy index built from (child, parent) subClassOf edges."""
@@ -36,10 +38,28 @@ class OntologyIndex:
             if parent not in lst:
                 lst.append(parent)
         self._closure_cache: Dict[str, frozenset] = {}
+        self._canon_cache: Dict[str, Optional[str]] = {}
 
     # -- P7 canonicalization ------------------------------------------------
     def str_to_managed_uri(self, ref: str, namespace_key: str = None) -> Optional[str]:
-        """Mirror of ontologies.py:52-83 (returns full URI string, not URIRef)."""
+        """Mirror of ontologies.py:52-83 (returns full URI string, not URIRef).
+
+        The no-namespace form is memoized per instance: the fused kernel
+        canonicalizes every mention's spotlight types, but the distinct type
+        vocabulary is tiny (dozens) versus hundreds of thousands of calls —
+        the memo removes ~10% of the triples-only kernel wall (pure function
+        of the string, so caching cannot change results)."""
+        if namespace_key is None:
+            hit = self._canon_cache.get(ref, _CANON_MISS)
+            if hit is not _CANON_MISS:
+                return hit
+            out = self._canonicalize_uncached(ref)
+            self._canon_cache[ref] = out
+            return out
+        return self._canonicalize_uncached(ref, namespace_key)
+
+    def _canonicalize_uncached(self, ref: str,
+                               namespace_key: str = None) -> Optional[str]:
         if namespace_key is not None:
             ns = self.namespaces[namespace_key]
             if ref.startswith(namespace_key + ":"):
