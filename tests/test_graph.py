@@ -43,6 +43,24 @@ def test_canonicalize_shortest_suffix_tiebreak():
     assert idx2.str_to_managed_uri("A:Cls") == "http://a.org/Cls"
 
 
+@given(st.lists(st.sampled_from(
+    [DBO + "Table", SCHEMA + "Person", "http://example.org/X",
+     "DBPedia:Software", "DBpedia:Software", "yago:Thing", "",
+     "Schema:CreativeWork", "yago:", "DBPedia:", "http://", ":", "x"]),
+    min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_canonicalize_memo_equals_uncached(refs):
+    """The per-instance memo on the no-namespace form must be invisible:
+    repeated mixed-order calls return exactly what a fresh uncached walk
+    returns (including cached None results)."""
+    edges = [(c, p) for c, p, _ in fixtures.ontology_edges()]
+    memoized = OntologyIndex(edges)
+    for ref in refs + refs:          # second pass exercises every cache hit
+        fresh = OntologyIndex(edges)
+        assert memoized.str_to_managed_uri(ref) == \
+            fresh._canonicalize_uncached(ref), ref
+
+
 def test_canonicalize_expr_matches_python(spark, onto):
     """The JVM expression (graph.canonicalize_expr) must equal the pure-Python
     rule on every fixture type string + unmanaged ones."""
