@@ -37,6 +37,11 @@ __all__ = ["GazetteerMatcher", "Mention"]
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# Above this many distinct first tokens the prescan alternation's compile and
+# scan cost outweighs per-token dict probing (which is the right shape for
+# dense-hit vocabularies anyway), so _match_spans falls back to it.
+_PRESCAN_MAX_FIRST_TOKENS = 2048
+
 # Mention tuple fields (kept a plain tuple for Arrow friendliness):
 # (offset, surface, uri, types_list, similarity, psr, support, n_candidates)
 Mention = Tuple[int, str, str, List[str], float, float, int, int]
@@ -92,6 +97,24 @@ class GazetteerMatcher:
             ntok = key.count(" ") + 1
             if ntok > self._first_tok_max.get(first, 0):
                 self._first_tok_max[first] = ntok
+        # C-level prescan: ONE compiled alternation finds every character
+        # position where any surface could start, so Python tokenizes only
+        # around those hits instead of materializing every paragraph token.
+        # Sound only when every first token is ASCII: for ASCII keys the set
+        # of characters whose str.lower() maps into the key is exactly the
+        # IGNORECASE equivalence class (A-Z/a-z plus U+212A for 'k'), so the
+        # scan has no false negatives; false positives (e.g. 'İ' matching an
+        # 'i' pattern mid-fold) are re-checked with the same .lower() probe
+        # the fallback path uses. Length-desc alternation + (?<!\w)/(?!\w)
+        # guards make each hit a complete \w+ run equal to a first token.
+        firsts = sorted(self._first_tok_max, key=len, reverse=True)
+        if firsts and len(firsts) <= _PRESCAN_MAX_FIRST_TOKENS and \
+                all(k.isascii() for k in firsts):
+            self._prescan_re = re.compile(
+                r"(?<!\w)(?:" + "|".join(re.escape(k) for k in firsts)
+                + r")(?!\w)", re.IGNORECASE)
+        else:
+            self._prescan_re = None
         # Precompute per-surface scored candidates (deterministic order).
         self._scored: Dict[str, List[Tuple[float, str, int, str, float]]] = {}
         for key, cands in index.items():
@@ -148,6 +171,47 @@ class GazetteerMatcher:
                 yield (offset, surface, uri, types, sim, psr, support, len(scored))
 
     def _match_spans(self, paragraph: str):
+        if self._prescan_re is not None:
+            return self._match_spans_prescan(paragraph)
+        return self._match_spans_scan(paragraph)
+
+    def _match_spans_prescan(self, paragraph: str):
+        """Prescan variant of _match_spans_scan — identical output.
+
+        Consumption semantics match the token walk: a hit starting before
+        the end of the last emitted span lies on a consumed token (tokens
+        are disjoint) and is skipped; nothing is consumed on a failed
+        longest-match probe, so later hits inside a failed window are still
+        tried, exactly like the fallback's i += 1 advance."""
+        index = self.index
+        first_max = self._first_tok_max
+        consumed_end = 0
+        for m in self._prescan_re.finditer(paragraph):
+            start = m.start()
+            if start < consumed_end:
+                continue
+            key0 = m.group().lower()
+            kmax = first_max.get(key0)
+            if kmax is None:        # IGNORECASE fold artifact, not a token
+                continue
+            if kmax == 1:
+                if key0 in index:
+                    consumed_end = m.end()
+                    yield (start, paragraph[start:consumed_end], key0)
+                continue
+            toks = [(start, m.end(), key0)]
+            tm = _TOKEN_RE.search(paragraph, m.end())
+            while tm is not None and len(toks) < kmax:
+                toks.append((tm.start(), tm.end(), tm.group().lower()))
+                tm = _TOKEN_RE.search(paragraph, tm.end())
+            for k in range(len(toks), 0, -1):
+                key = key0 if k == 1 else " ".join(t[2] for t in toks[:k])
+                if key in index:
+                    consumed_end = toks[k - 1][1]
+                    yield (start, paragraph[start:consumed_end], key)
+                    break
+
+    def _match_spans_scan(self, paragraph: str):
         tokens = [(m.start(), m.end(), m.group().lower())
                   for m in _TOKEN_RE.finditer(paragraph)]
         i, n = 0, len(tokens)

@@ -1,5 +1,6 @@
 """S7 annotator + disambiguation variants."""
 import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
 
 from pysemanticcomplexity_spark import fixtures
 from pysemanticcomplexity_spark.annotation_core import GazetteerMatcher
@@ -32,6 +33,35 @@ def test_case_insensitive_and_offset():
     out = list(m.annotate("xx Spark yy"))
     assert out[0][2] == DBR + "Apache_Spark"
     assert out[0][0] == 3 and out[0][1] == "Spark"
+
+
+_SPAN_WORDS = (["hash", "join", "spark", "HASH", "Join", "SPARK", "xx",
+                "the", "İstanbul", "K", "kelvin", "straße", "ς", "σ",
+                "merge", "sort", "apache", "a", "1", "_", "hashjoin"]
+               + [s for s, *_ in fixtures.GAZETTEER_ROWS[:8]])
+
+
+@given(st.lists(st.sampled_from(_SPAN_WORDS), min_size=0, max_size=40),
+       st.sampled_from([" ", "  ", ", ", "-", ".\n"]))
+@settings(max_examples=200, deadline=None)
+def test_prescan_matches_token_walk(words, sep):
+    """The prescan fast path must emit exactly the spans the full token
+    walk emits, on text mixing surfaces, case variants, and the unicode
+    case-fold traps (İ, Kelvin sign, ß, final sigma)."""
+    m = _matcher()
+    assert m._prescan_re is not None            # fixture firsts are ASCII
+    text = sep.join(words)
+    assert list(m._match_spans_prescan(text)) == \
+        list(m._match_spans_scan(text))
+
+
+def test_non_ascii_gazetteer_falls_back():
+    rows = [("straße eins", "http://x/Strasse", 10, 1.0, ""),
+            ("spark", "http://x/Spark", 10, 1.0, "")]
+    m = GazetteerMatcher(rows, confidence=0.0)
+    assert m._prescan_re is None                # non-ASCII first token
+    out = list(m.annotate("xx straße eins yy spark"))
+    assert [o[2] for o in out] == ["http://x/Strasse", "http://x/Spark"]
 
 
 def test_ambiguous_resolved_and_confidence_filter():
