@@ -881,6 +881,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source"))
     q["C2_stratified_sample"] = c2_stratified_sample
 
+    def e2e_corpus_prep(spark, sf_dir):
+        # the whole training-corpus prep as ONE declarative plan:
+        # Gopher quality filter -> exact-dedup representative keep ->
+        # benchmark decontamination -> stratified mix -> per-source rollup.
+        # Every stage is id-keyed, so Catalyst collapses the retain-set
+        # joins onto one partitioning of the 100 TB side. The compositional
+        # form re-scans documents per stage (fine at bench scale); a 100 TB
+        # run would stage the per-doc stats table once first, exactly like
+        # KGPipeline.run's staged tables, then join the narrow retain sets.
+        from pysemanticcomplexity_spark.operators import (
+            corpus, dedup, textstats)
+        d = _docs(spark, sf_dir)
+        quality = (textstats.gopher_quality(d).filter("passes")
+                   .select("id", "n_words"))
+        keep = dedup.exact_dedup(d).select(F.col("keep_id").alias("id"))
+        bench = d.filter(F.col("doc_id") % 53 == 0)
+        clean = (corpus.contamination_flags(d, bench, n=3)
+                 .filter(F.col("contamination") <= 0.05).select("id"))
+        sampled = (corpus.stratified_sample(
+                       d, {"src0": 1.0, "src1": 0.75, "src2": 0.5,
+                           "src3": 0.25}, default_fraction=0.5)
+                   .select(F.col("doc_id").alias("id"), "source"))
+        kept = (sampled.join(quality, "id").join(keep, "id")
+                .join(clean, "id"))
+        return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("n_words").cast("long").alias("total_words")))
+    q["E2E_corpus_prep"] = e2e_corpus_prep
+
     return q
 
 
@@ -1907,6 +1936,39 @@ WHERE hh < CASE source
   WHEN 'src2' THEN {int(0.5 * SAMPLE_DENOM)}
   WHEN 'src3' THEN {int(0.25 * SAMPLE_DENOM)}
   ELSE {int(0.05 * SAMPLE_DENOM)} END
+"""
+
+    # E2E: the composed corpus-prep pipeline, every stage reused from the
+    # already-verified fragments (QF1 quality, D1-style keep, C1 contam,
+    # C2-style sample) as CTEs
+    o["E2E_corpus_prep"] = rf"""
+WITH gq AS ({o["QF1_gopher_quality"]}),
+keep AS (
+  SELECT min(doc_id) AS id
+  FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS tn
+        FROM documents)
+  GROUP BY tn),
+contam AS ({o["C1_contamination"]}),
+samp AS (
+  SELECT doc_id AS id, source
+  FROM (SELECT doc_id, source,
+               (({samp_h} * {SAMPLE_A} + {SAMPLE_B}) % {POLY_MOD})
+                 % {SAMPLE_DENOM} AS hh
+        FROM documents)
+  WHERE hh < CASE source
+    WHEN 'src0' THEN {int(1.0 * SAMPLE_DENOM)}
+    WHEN 'src1' THEN {int(0.75 * SAMPLE_DENOM)}
+    WHEN 'src2' THEN {int(0.5 * SAMPLE_DENOM)}
+    WHEN 'src3' THEN {int(0.25 * SAMPLE_DENOM)}
+    ELSE {int(0.5 * SAMPLE_DENOM)} END)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(gq.n_words) AS BIGINT) AS total_words
+FROM samp s
+JOIN gq ON gq.id = s.id AND gq.passes
+JOIN keep k ON k.id = s.id
+JOIN contam c ON c.id = s.id AND c.contamination <= 0.05
+GROUP BY s.source
 """
 
     # KG_pipeline_triples / KG_pipeline_features: intentionally omitted
