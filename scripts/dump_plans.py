@@ -92,6 +92,24 @@ def main():
         "(band, bucket): candidate pairs meet only inside LSH buckets.",
         fmt(q["D3_minhash_lsh"](spark, sf))))
 
+    sections.append((
+        "E2E_corpus_prep (quality -> dedup -> decontaminate -> mix -> rollup)",
+        "Sampler hash + per-stratum thresholds and the Gopher quality "
+        "conjunction are evaluated inside the parquet scans (DataFilters, "
+        "ReadSchema pruned per branch); exact-dedup keep = partial/final "
+        "min over the 128-bit key; contamination = broadcast benchmark "
+        "shingle join -> ONE map-side-combinable groupBy(id). The three "
+        "retain sets join the sampled corpus id-keyed — broadcast at bench "
+        "scale, and AQE switches to sort-merge on id when they outgrow the "
+        "threshold — then one partial/final rollup by source.",
+        fmt(q["E2E_corpus_prep"](spark, sf))))
+
+    sections.append((
+        "C2_stratified_sample (reproducible training mix)",
+        "A pure Filter over the scan — zero Exchanges; the affine-finished "
+        "poly hash and the stratum CASE both run inside WholeStageCodegen.",
+        fmt(q["C2_stratified_sample"](spark, sf))))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plans of the headline operators\n\n"
