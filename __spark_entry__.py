@@ -759,6 +759,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               for i in range(8)])
     q["MM3_png_decode"] = mm3_png_decode
 
+    def mm4_gif_decode(spark, sf_dir):
+        # REAL pure-Python GIF decode (multimodal._decode_gif: LZW,
+        # palettes, interlace) over deterministic synthetic 4x3 GIFs:
+        # pixel p of doc d has palette index i = (d*7 + p*31) % 256 and
+        # palette entry i = (i, i*7 % 256, i*31 % 256); odd docs are
+        # interlaced (order-invariant for the stats, exactness of the
+        # reordering is pinned in tests/test_multimodal.py). DuckDB
+        # derives the expected stats from doc_id alone.
+        from pysemanticcomplexity_spark.operators.multimodal import decode_images
+
+        def _make(ids):
+            W, H = 4, 3
+
+            def lzw(indices, mcs):
+                clear, end = 1 << mcs, (1 << mcs) + 1
+                codes = [clear] + list(indices) + [end]
+                # every code is a literal, but the decoder still appends an
+                # entry per code after the first: replay its width growth
+                bits, acc, nbits = bytearray(), 0, 0
+                width, tsize, first = mcs + 1, end + 1, True
+                for code in codes:
+                    acc |= code << nbits
+                    nbits += width
+                    while nbits >= 8:
+                        bits.append(acc & 0xFF)
+                        acc >>= 8
+                        nbits -= 8
+                    if code == clear:
+                        width, tsize, first = mcs + 1, end + 1, True
+                    elif code != end:
+                        if first:
+                            first = False
+                        else:
+                            tsize += 1
+                            if tsize == (1 << width) and width < 12:
+                                width += 1
+                if nbits:
+                    bits.append(acc & 0xFF)
+                return bytes(bits)
+
+            def enc(d):
+                d = int(d)
+                idx = [(d * 7 + p * 31) % 256 for p in range(W * H)]
+                pal = bytes(v for i in range(256)
+                            for v in (i, i * 7 % 256, i * 31 % 256))
+                out = bytearray(b"GIF89a")
+                out += W.to_bytes(2, "little") + H.to_bytes(2, "little")
+                out += bytes([0x80 | 7, 0, 0]) + pal       # 256-entry GCT
+                interlace = d % 2
+                out += (b"\x2c" + b"\x00" * 4 + W.to_bytes(2, "little")
+                        + H.to_bytes(2, "little")
+                        + bytes([0x40 if interlace else 0]))
+                if interlace:                  # h=3: passes -> rows 0, 2, 1
+                    rows = [idx[0:W], idx[2 * W:3 * W], idx[W:2 * W]]
+                    idx = [x for r in rows for x in r]
+                data = lzw(idx, 8)
+                out += bytes([8])
+                for off in range(0, len(data), 255):
+                    block = data[off:off + 255]
+                    out += bytes([len(block)]) + block
+                out += b"\x00\x3b"
+                return bytes(out)
+            return ids.map(enc)
+
+        make_gif = F.pandas_udf(_make, "binary")
+        imgs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), make_gif("doc_id").alias("payload"))
+        dec = decode_images(imgs)
+        return dec.select(
+            "id", F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+            F.col("channels").cast("long").alias("channels"),
+            *[F.round(F.get("features", i).cast("double"), 4).alias(f"f{i}")
+              for i in range(8)])
+    q["MM4_gif_decode"] = mm4_gif_decode
+
     # ---- rows-only entries (non-SQL-expressible; weaker driver check) -----
     def kg_triples_full(spark, sf_dir):
         from pysemanticcomplexity_spark.pipeline import KGPipeline
@@ -1549,6 +1625,37 @@ SELECT id, CAST(3 AS BIGINT) AS height, CAST(4 AS BIGINT) AS width,
        round(list_avg(p) / 255.0, 4) AS f7
 FROM px
 """
+
+    # GIF variant (4x3, palette indirection): pixel p of doc d has palette
+    # index i = (d*7 + p*31) % 256, channels (i, i*7 % 256, i*31 % 256) —
+    # closed-form from doc_id, no decoding needed on the oracle side
+    o["MM4_gif_decode"] = """
+WITH px AS (
+  SELECT doc_id AS id,
+         list_transform(generate_series(0, 11),
+                        p -> (doc_id * 7 + p * 31) % 256) AS ix
+  FROM documents),
+ch AS (
+  SELECT id,
+         list_transform(ix, i -> CAST(i AS DOUBLE)) AS r,
+         list_transform(ix, i -> CAST((i * 7) % 256 AS DOUBLE)) AS g,
+         list_transform(ix, i -> CAST((i * 31) % 256 AS DOUBLE)) AS b
+  FROM ch_src)
+SELECT id, CAST(3 AS BIGINT) AS height, CAST(4 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS channels,
+       round(list_avg(r) / 255.0, 4) AS f0,
+       round(list_avg(g) / 255.0, 4) AS f1,
+       round(list_avg(b) / 255.0, 4) AS f2,
+       round(sqrt(list_avg(list_transform(r, x -> x * x))
+                  - list_avg(r) * list_avg(r)) / 255.0, 4) AS f3,
+       round(sqrt(list_avg(list_transform(g, x -> x * x))
+                  - list_avg(g) * list_avg(g)) / 255.0, 4) AS f4,
+       round(sqrt(list_avg(list_transform(b, x -> x * x))
+                  - list_avg(b) * list_avg(b)) / 255.0, 4) AS f5,
+       round(3.0 / 4.0, 4) AS f6,
+       round((list_sum(r) + list_sum(g) + list_sum(b)) / 36.0 / 255.0, 4) AS f7
+FROM ch
+""".replace("ch_src", "px")
 
     o["Q5_multiway_join"] = """
 SELECT r_name, n_name,

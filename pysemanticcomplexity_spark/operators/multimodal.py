@@ -4,11 +4,13 @@
   detection (works on real bytes);
 * ``decode_images``    — mapInPandas kernel with the (binary -> height,
   width, channels, features) contract. Binary PPM ``P6``, 24-bit
-  uncompressed BMP, AND non-interlaced 8-bit RGB/RGBA PNG are decoded FOR
-  REAL in pure numpy (+ stdlib zlib for PNG): header/chunk parse,
+  uncompressed BMP, non-interlaced 8-bit RGB/RGBA PNG, AND GIF87a/89a
+  (first frame, incl. interlace and local color tables) are decoded FOR
+  REAL in pure Python/numpy (+ stdlib zlib for PNG; the GIF LZW
+  decompressor is implemented here): header/chunk parse,
   row-padding/bottom-up/BGR handling, full PNG scanline filter reversal
   (None/Sub/Up/Average/Paeth), per-channel statistics. Formats that need a
-  codec library (jpeg/gif/video; PIL/opencv are not in this container)
+  DCT codec library (jpeg/video; PIL/opencv are not in this container)
   raise NotImplementedError unless ``fake=True``, which derives a
   deterministic fake geometry/feature vector from the byte content (so the
   distributed path, schema, and batching stay exercised for every format);
@@ -167,6 +169,118 @@ def _decode_png(buf: bytes):
     return h, w, out.reshape(h, w, nch)
 
 
+def _lzw_decode(data: bytes, mcs: int, expected: int):
+    """GIF-variant LZW: codes LSB-first across the concatenated data
+    sub-blocks, starting at ``mcs + 1`` bits; CLEAR resets the table, the
+    code width grows when the table reaches 2^width (capped at 12 bits).
+    Returns exactly ``expected`` palette indices (trailing codes beyond the
+    frame's pixel count are ignored, per the spec's tolerance)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    total_bits = len(data) * 8
+    bitpos = 0
+
+    def read(nbits):
+        nonlocal bitpos
+        if bitpos + nbits > total_bits:
+            return None
+        byte, shift = bitpos >> 3, bitpos & 7
+        val = (int.from_bytes(data[byte:byte + 3], "little") >> shift) \
+            & ((1 << nbits) - 1)
+        bitpos += nbits
+        return val
+
+    out = []
+    table = [(i,) for i in range(clear)] + [(), ()]
+    width, prev = mcs + 1, None
+    while len(out) < expected:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width, prev = mcs + 1, None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("LZW: code beyond table")
+        out.extend(entry)
+        if prev is not None:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) < expected:
+        raise ValueError("LZW: pixel data exhausted early")
+    return out[:expected]
+
+
+def _decode_gif(buf: bytes):
+    """GIF87a/89a FIRST image frame in pure Python + numpy: logical screen
+    descriptor, global/local color table, extension-block skip, LZW
+    decompression (``_lzw_decode``), interlace reordering, palette lookup
+    -> (h, w, RGB). Honest scope: first frame only, transparency treated
+    as opaque palette color (channels reported as 3); animation/looping is
+    a video concern, not a raster decode."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+
+    def le16(o):
+        return int.from_bytes(buf[o:o + 2], "little")
+
+    packed = buf[10]
+    pos, gct = 13, None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while True:
+        b0 = buf[pos]
+        if b0 == 0x21:                       # extension: label + sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:                     # image descriptor
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
+    ih, iw = le16(pos + 7), le16(pos + 5)
+    ipacked = buf[pos + 9]
+    pos += 10
+    table, interlaced = gct, (ipacked >> 6) & 1
+    if ipacked >> 7:                         # local color table wins
+        n = 2 << (ipacked & 7)
+        table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if table is None:
+        raise ValueError("GIF: no color table")
+    mcs = buf[pos]
+    pos += 1
+    data = bytearray()
+    while buf[pos] != 0:
+        n = buf[pos]
+        data += buf[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    idx = np.array(_lzw_decode(bytes(data), mcs, iw * ih), np.int64)
+    if (idx >= len(table)).any():
+        raise ValueError("GIF: palette index out of range")
+    arr = idx.reshape(ih, iw)
+    if interlaced:                           # stored row k -> display row
+        order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                 + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+        out = np.empty_like(arr)
+        out[order] = arr
+        arr = out
+    return ih, iw, table[arr]
+
+
 def _real_features(h: int, w: int, px: np.ndarray):
     """8 features: per-channel mean and population std (/255), aspect ratio
     h/w, global mean (/255) — all float64 before the float32 cast. For RGBA
@@ -207,7 +321,9 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                         h, w, px = _decode_bmp(buf)
                     elif buf[:8] == _PNG_SIG:
                         h, w, px = _decode_png(buf)
-                except (ValueError, NotImplementedError):
+                    elif buf[:6] in (b"GIF87a", b"GIF89a"):
+                        h, w, px = _decode_gif(buf)
+                except (ValueError, NotImplementedError, IndexError):
                     if not fake:    # fake=True: corrupt/out-of-scope payloads
                         raise       # fall through to the plumbing fake
                     px = None
@@ -225,9 +341,9 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                     nch = 3
                 else:
                     raise NotImplementedError(
-                        "jpeg/gif decode requires PIL/opencv (absent here); "
-                        "PPM/BMP/PNG decode for real, or pass fake=True for "
-                        "the plumbing path")
+                        "jpeg decode requires a DCT codec (PIL/opencv, "
+                        "absent here); PPM/BMP/PNG/GIF decode for real, or "
+                        "pass fake=True for the plumbing path")
                 out["id"].append(int(i))
                 out["height"].append(int(h))
                 out["width"].append(int(w))

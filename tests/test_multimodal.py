@@ -218,3 +218,164 @@ def test_png_decode_rejects_out_of_scope():
         _decode_png(bytes(interlaced))
     with pytest.raises(ValueError, match="IHDR"):
         _decode_png(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 0) + b"IEND" * 4)
+
+
+# ---- GIF (real decode: LZW + palettes + interlace) ----
+
+def _lzw_encode(indices, mcs):
+    """Spec LZW encoder (variable width, table growth, CLEAR at 4096) used
+    only to build test GIFs; intentionally written against the GIF spec
+    rather than mirroring the decoder's structure."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    nxt, width_sizes = end + 1, []
+    buf = tuple()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        table[cand] = nxt
+        nxt += 1
+        if nxt - 1 == 4096:
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            nxt = end + 1
+        buf = (sym,)
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+    # pack LSB-first; the code width the DECODER uses when reading code k
+    # depends on its table size at that moment: it grows after the decoder
+    # appends entry 2^width - 1. Replay that here.
+    bits, acc, nbits = bytearray(), 0, 0
+    width, tsize, prev_was_clear = mcs + 1, end + 1, True
+    out_bits = []
+    for code in codes:
+        out_bits.append((code, width))
+        if code == clear:
+            width, tsize, prev_was_clear = mcs + 1, end + 1, True
+        elif code != end:
+            if prev_was_clear:
+                prev_was_clear = False
+            else:
+                tsize += 1
+                if tsize == (1 << width) and width < 12:
+                    width += 1
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def _gif_bytes(idx, palette, interlace=False, local_table=False,
+               extensions=True):
+    """Minimal GIF89a with the index array `idx` (h, w) over `palette`
+    (n, 3). Palette size is padded to a power of two >= 4."""
+    import numpy as np
+    h, w = idx.shape
+    n = max(4, 1 << (int(np.ceil(np.log2(len(palette))))))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:len(palette)] = palette
+    size_bits = int(np.log2(n)) - 1
+    mcs = max(2, int(np.log2(n)))
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_table:
+        out += bytes([0x00, 0, 0])            # no global table
+    else:
+        out += bytes([0x80 | size_bits, 0, 0]) + pal.tobytes()
+    if extensions:                            # graphic-control + comment
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05hello\x00"
+    flags = (0x80 | size_bits if local_table else 0) | (0x40 if interlace else 0)
+    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") \
+        + h.to_bytes(2, "little") + bytes([flags])
+    if local_table:
+        out += pal.tobytes()
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        stored = idx[order]
+    else:
+        stored = idx
+    data = _lzw_encode([int(x) for x in stored.reshape(-1)], mcs)
+    out += bytes([mcs])
+    for off in range(0, len(data), 255):
+        block = data[off:off + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_hand_golden():
+    """3 pixels [1, 2, 1], mcs=2: codes CLEAR(4),1,2,1,END(5) at 3 bits
+    each, LSB-first -> bytes 0b01001100, 0b00101001 = 0x4C 0xA1... derive:
+    stream 100 | 001 | 010 | 001 | 101 packed LSB-first:
+    byte0 = 100 + 001<<3 + (010&0b11)<<6 = 0b10001100 = 0x8C
+    byte1 = 010>>2 + 001<<1 + 101<<4 = 0b1010010 = 0x52"""
+    from pysemanticcomplexity_spark.operators.multimodal import _lzw_decode
+    assert _lzw_decode(bytes([0x8C, 0x52]), 2, 3) == [1, 2, 1]
+
+
+def test_gif_decode_roundtrip_matrix():
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_gif
+    rng = np.random.RandomState(11)
+    for h, w, ncolors in [(1, 1, 4), (3, 4, 4), (7, 5, 16), (16, 16, 64),
+                          (33, 9, 256), (64, 64, 256)]:
+        palette = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+        idx = rng.randint(0, ncolors, (h, w))
+        for interlace in (False, True):
+            for local in (False, True):
+                buf = _gif_bytes(idx, palette, interlace=interlace,
+                                 local_table=local)
+                gh, gw, px = _decode_gif(buf)
+                assert (gh, gw) == (h, w), (h, w, interlace, local)
+                assert (px == palette[idx]).all(), (h, w, interlace, local)
+
+
+def test_gif_lzw_table_growth_beyond_initial_width():
+    """A long low-entropy sequence forces many table appends and at least
+    one code-width increase; round-trip must stay exact."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_gif
+    idx = np.tile(np.array([[0, 0, 1, 1, 2, 2, 3, 3]] * 2), (16, 16))[:64, :64]
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                       np.uint8)
+    buf = _gif_bytes(idx, palette)
+    gh, gw, px = _decode_gif(buf)
+    assert (px == palette[idx]).all()
+
+
+def test_gif_decode_spark_path(spark):
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import decode_images
+    palette = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 0], [255, 255, 255]],
+                       np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 0, 0]])
+    df = spark.createDataFrame(
+        [(7, bytearray(_gif_bytes(idx, palette)))], "id long, payload binary")
+    r = decode_images(df).collect()[0]
+    assert (r["height"], r["width"], r["channels"]) == (3, 4, 3)
+    flat = palette[idx].reshape(-1, 3).astype(float)
+    want = list(flat.mean(0) / 255) + list(flat.std(0) / 255) \
+        + [3 / 4, flat.mean() / 255]
+    assert r["features"] == pytest.approx(want, abs=1e-6)
+
+
+def test_gif_truncated_falls_back_or_raises(spark):
+    from pysemanticcomplexity_spark.operators.multimodal import decode_images
+    df = spark.createDataFrame([(1, bytearray(b"GIF89a..."))],
+                               "id long, payload binary")
+    with pytest.raises(Exception):
+        decode_images(df).collect()
+    assert decode_images(df, fake=True).count() == 1
