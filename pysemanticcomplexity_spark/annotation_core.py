@@ -125,6 +125,22 @@ class GazetteerMatcher:
                 key=lambda x: (-x[0], x[1]),
             )
             self._scored[key] = scored
+        # Final per-surface disambiguation (best candidate surviving the
+        # support/types filters, above the confidence threshold, plus psr
+        # and candidate count) is static for a given matcher instance —
+        # precompute it so annotate() is one dict probe per span.
+        self._best: Dict[str, tuple] = {}
+        for key in self._scored:
+            scored = self._surviving(key)
+            if not scored:
+                continue
+            best_sim, best_uri, best_support, best_types, _ = scored[0]
+            if best_sim < self.confidence:
+                continue
+            psr = (scored[1][0] / best_sim) if len(scored) > 1 else 0.0
+            types = best_types.split(",") if best_types else []
+            self._best[key] = (best_uri, types, best_sim, psr,
+                               best_support, len(scored))
 
     def _passes_filters(self, support: int, types_csv: str) -> bool:
         if self.support is not None and support < self.support:
@@ -145,18 +161,19 @@ class GazetteerMatcher:
         return [c for c in scored if self._passes_filters(c[2], c[3])]
 
     def annotate(self, paragraph: str) -> Iterator[Mention]:
-        """Yield best-candidate mentions, in paragraph order."""
+        """Yield best-candidate mentions, in paragraph order.
+
+        Resolution is one dict probe per matched span: filters, confidence,
+        and scoring are instance-constants, so the winning candidate per
+        surface is precomputed in ``_best`` at construction (the cached
+        types list is shared across mentions — treat it as immutable)."""
+        best = self._best
         for offset, surface, key in self._match_spans(paragraph):
-            scored = self._surviving(key)
-            if not scored:
+            fin = best.get(key)
+            if fin is None:
                 continue
-            best_sim, best_uri, best_support, best_types, _ = scored[0]
-            if best_sim < self.confidence:
-                continue
-            psr = (scored[1][0] / best_sim) if len(scored) > 1 else 0.0
-            types = best_types.split(",") if best_types else []
-            yield (offset, surface, best_uri, types, best_sim, psr,
-                   best_support, len(scored))
+            uri, types, sim, psr, support, n = fin
+            yield (offset, surface, uri, types, sim, psr, support, n)
 
     def annotate_candidates(self, paragraph: str) -> Iterator[Mention]:
         """Yield *all* candidates per matched span (for the explicit
