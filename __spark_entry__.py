@@ -835,6 +835,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               for i in range(8)])
     q["MM4_gif_decode"] = mm4_gif_decode
 
+    def mm5_jpeg_decode(spark, sf_dir):
+        # REAL baseline-JPEG decode (multimodal._decode_jpeg: canonical
+        # Huffman + orthonormal IDCT) over deterministic 16x8 grayscale
+        # JPEGs with per-8x8-block-constant values v_p = (d*7 + p*53) % 256:
+        # DC-only spectra with all-ones quantization decode EXACTLY, so
+        # DuckDB derives the expected statistics from doc_id alone (the
+        # general AC/quantization path is pinned in tests/test_multimodal.py)
+        from pysemanticcomplexity_spark.operators.multimodal import decode_images
+
+        def _make(ids):
+            W, H = 16, 8
+
+            def canon(symbols):
+                n, L = len(symbols), 1
+                while (1 << L) <= n:
+                    L += 1
+                bits = [0] * 16
+                bits[L - 1] = n
+                return bits, symbols, {s: (i, L) for i, s in enumerate(symbols)}
+
+            def enc(d):
+                d = int(d)
+                vals = [(d * 7 + p * 53) % 256 for p in range(2)]
+                dcs = [8 * (v - 128) for v in vals]
+                diffs = [dcs[0], dcs[1] - dcs[0]]
+
+                def size(x):
+                    return 0 if x == 0 else abs(x).bit_length()
+
+                dc_bits, dc_vals, dc_code = canon(
+                    sorted({size(x) for x in diffs}))
+                ac_bits, ac_vals, ac_code = canon([0x00])
+                bits = []
+
+                def put(code, nb):
+                    for i in range(nb - 1, -1, -1):
+                        bits.append((code >> i) & 1)
+
+                for diff in diffs:                  # one MCU per block: DC+EOB
+                    t = size(diff)
+                    put(*dc_code[t])
+                    if t:
+                        put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                    put(*ac_code[0x00])
+                while len(bits) % 8:
+                    bits.append(1)
+                raw = bytearray(int("".join(map(str, bits[i:i + 8])), 2)
+                                for i in range(0, len(bits), 8))
+                stuffed = bytearray()
+                for byte in raw:
+                    stuffed.append(byte)
+                    if byte == 0xFF:
+                        stuffed.append(0x00)
+
+                def seg(marker, payload):
+                    return (bytes([0xFF, marker])
+                            + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+                sof = (bytes([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big")
+                       + bytes([1, 1, 0x11, 0]))
+                dht = (bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+                       + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+                sos = bytes([1, 1, 0x00, 0x00, 0x3F, 0x00])
+                return (b"\xff\xd8" + seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+                        + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+                        + bytes(stuffed) + b"\xff\xd9")
+            return ids.map(enc)
+
+        make_jpeg = F.pandas_udf(_make, "binary")
+        imgs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), make_jpeg("doc_id").alias("payload"))
+        dec = decode_images(imgs)
+        return dec.select(
+            "id", F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+            F.col("channels").cast("long").alias("channels"),
+            *[F.round(F.get("features", i).cast("double"), 4).alias(f"f{i}")
+              for i in range(8)])
+    q["MM5_jpeg_decode"] = mm5_jpeg_decode
+
     # ---- rows-only entries (non-SQL-expressible; weaker driver check) -----
     def kg_triples_full(spark, sf_dir):
         from pysemanticcomplexity_spark.pipeline import KGPipeline
@@ -1656,6 +1736,28 @@ SELECT id, CAST(3 AS BIGINT) AS height, CAST(4 AS BIGINT) AS width,
        round((list_sum(r) + list_sum(g) + list_sum(b)) / 36.0 / 255.0, 4) AS f7
 FROM ch
 """.replace("ch_src", "px")
+
+    # JPEG variant (16x8 grayscale, two constant 8x8 blocks): the decoded
+    # pixels are exactly v_p = (d*7 + p*53) % 256, so mean = (v0+v1)/2 and
+    # population std = |v0-v1|/2, closed-form in doc_id
+    o["MM5_jpeg_decode"] = """
+WITH v AS (
+  SELECT doc_id AS id,
+         CAST((doc_id * 7) % 256 AS DOUBLE) AS v0,
+         CAST((doc_id * 7 + 53) % 256 AS DOUBLE) AS v1
+  FROM documents)
+SELECT id, CAST(8 AS BIGINT) AS height, CAST(16 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS channels,
+       round((v0 + v1) / 2 / 255.0, 4) AS f0,
+       round((v0 + v1) / 2 / 255.0, 4) AS f1,
+       round((v0 + v1) / 2 / 255.0, 4) AS f2,
+       round(abs(v0 - v1) / 2 / 255.0, 4) AS f3,
+       round(abs(v0 - v1) / 2 / 255.0, 4) AS f4,
+       round(abs(v0 - v1) / 2 / 255.0, 4) AS f5,
+       round(0.5, 4) AS f6,
+       round((v0 + v1) / 2 / 255.0, 4) AS f7
+FROM v
+"""
 
     o["Q5_multiway_join"] = """
 SELECT r_name, n_name,

@@ -9,8 +9,11 @@
   REAL in pure Python/numpy (+ stdlib zlib for PNG; the GIF LZW
   decompressor is implemented here): header/chunk parse,
   row-padding/bottom-up/BGR handling, full PNG scanline filter reversal
-  (None/Sub/Up/Average/Paeth), per-channel statistics. Formats that need a
-  DCT codec library (jpeg/video; PIL/opencv are not in this container)
+  (None/Sub/Up/Average/Paeth), per-channel statistics. Baseline sequential
+  JPEG (SOF0, 4:4:4 or grayscale — grayscale decodes to replicated RGB) is
+  ALSO decoded for real: canonical-Huffman entropy decode with byte
+  unstuffing, zigzag/dequant, orthonormal-matrix IDCT, YCbCr -> RGB.
+  Remaining out-of-scope formats (video; progressive/subsampled JPEG)
   raise NotImplementedError unless ``fake=True``, which derives a
   deterministic fake geometry/feature vector from the byte content (so the
   distributed path, schema, and batching stay exercised for every format);
@@ -281,6 +284,202 @@ def _decode_gif(buf: bytes):
     return ih, iw, table[arr]
 
 
+class _BitReaderMSB:
+    """MSB-first bit reader over a JPEG entropy-coded segment with 0xFF00
+    byte-unstuffing already applied."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                 # bit position
+
+    def read(self, n):
+        out = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("JPEG: entropy data exhausted")
+            out = (out << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def _jpeg_huff_table(bits, values):
+    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader, table):
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v, t):
+    """DC/AC magnitude decoding (JPEG spec EXTEND): t-bit value v."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    """Orthonormal 8x8 DCT-III (inverse DCT-II) basis."""
+    k = np.arange(8)
+    c = np.where(k == 0, 1 / np.sqrt(2), 1.0)
+    m = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16) * c[None, :] / 2
+    return m                         # px = M @ coef @ M.T
+
+
+def _decode_jpeg(buf: bytes):
+    """Baseline sequential JFIF/JPEG (SOF0) in pure numpy: marker walk,
+    DQT/DHT parse (canonical Huffman), entropy decode with byte
+    unstuffing, zigzag + dequantization, orthonormal-matrix IDCT, level
+    shift, and YCbCr -> RGB (floor(x + 0.5) rounding — the spec does not
+    mandate a rounding mode; this one is replicated by the SQL oracle).
+    Honest scope: no chroma subsampling (4:4:4 or grayscale only), no
+    progressive/arithmetic coding, no restart intervals."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
+    frame = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = buf[pos + 1]
+        if marker == 0xD9:           # EOI
+            break
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        seg = buf[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:           # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = np.array(list(seg[off + 1:off + 65]), np.int32)
+                off += 65
+        elif marker == 0xC4:         # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                values = list(seg[off + 17:off + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_huff_table(bits, values)
+                off += 17 + n
+        elif marker == 0xC0:         # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:         # SOS: entropy data follows
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)]
+            data = bytearray()
+            while pos < len(buf):
+                b = buf[pos]
+                if b == 0xFF:
+                    nxt = buf[pos + 1] if pos + 1 < len(buf) else 0xD9
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        pos += 2
+                        continue
+                    break            # a real marker ends the scan
+                data.append(b)
+                pos += 1
+            return _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, bytes(data))
+    raise ValueError("JPEG: no scan data")
+
+
+def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, data):
+    if frame is None:
+        raise ValueError("JPEG: SOS before SOF0")
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan JPEG unsupported")
+    m = _idct_matrix()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    reader = _BitReaderMSB(data)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (_cid, tq) in enumerate(comps):
+                _sid, td, ta = scan[ci]
+                coef = np.zeros(64)
+                t = _huff_decode(reader, huff_dc[td])
+                pred[ci] += _jpeg_extend(reader.read(t), t)
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, huff_ac[ta])
+                    r, s = rs >> 4, rs & 15
+                    if rs == 0x00:   # EOB
+                        break
+                    if rs == 0xF0:   # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC run past block end")
+                    coef[_ZIGZAG[k]] = _jpeg_extend(reader.read(s), s)
+                    k += 1
+                dq = coef * _natural_quant(qt[tq])
+                block = m @ dq.reshape(8, 8) @ m.T + 128
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=2)
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.stack([r, g, b], axis=2)
+    px = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return h, w, px
+
+
+def _natural_quant(zz_table):
+    """Quant table arrives in zigzag order; reorder to natural order."""
+    nat = np.zeros(64, np.int32)
+    nat[_ZIGZAG] = zz_table
+    return nat
+
+
 def _real_features(h: int, w: int, px: np.ndarray):
     """8 features: per-channel mean and population std (/255), aspect ratio
     h/w, global mean (/255) — all float64 before the float32 cast. For RGBA
@@ -323,6 +522,8 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                         h, w, px = _decode_png(buf)
                     elif buf[:6] in (b"GIF87a", b"GIF89a"):
                         h, w, px = _decode_gif(buf)
+                    elif buf[:2] == b"\xff\xd8":
+                        h, w, px = _decode_jpeg(buf)
                 except (ValueError, NotImplementedError, IndexError):
                     if not fake:    # fake=True: corrupt/out-of-scope payloads
                         raise       # fall through to the plumbing fake
@@ -341,9 +542,9 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                     nch = 3
                 else:
                     raise NotImplementedError(
-                        "jpeg decode requires a DCT codec (PIL/opencv, "
-                        "absent here); PPM/BMP/PNG/GIF decode for real, or "
-                        "pass fake=True for the plumbing path")
+                        "video decode requires a codec library (absent "
+                        "here); PPM/BMP/PNG/GIF/baseline-JPEG decode for "
+                        "real, or pass fake=True for the plumbing path")
                 out["id"].append(int(i))
                 out["height"].append(int(h))
                 out["width"].append(int(w))

@@ -114,11 +114,11 @@ def test_bmp_row_padding_handled(spark):
     assert r["features"][3:6] == pytest.approx([0.0] * 3, abs=1e-9)
 
 
-def test_compressed_format_still_raises(spark):
+def test_corrupt_jpeg_raises_and_fake_covers(spark):
     from pysemanticcomplexity_spark.operators.multimodal import decode_images
     jpeg = bytearray(bytes.fromhex("FFD8FFE0") + b"\0" * 64)
     df = spark.createDataFrame([(1, jpeg)], "id long, payload binary")
-    with pytest.raises(Exception, match="PIL/opencv"):
+    with pytest.raises(Exception, match="JPEG"):
         decode_images(df).collect()
     # but the fake path still covers it (plumbing exercised)
     assert decode_images(df, fake=True).count() == 1
@@ -379,3 +379,183 @@ def test_gif_truncated_falls_back_or_raises(spark):
     with pytest.raises(Exception):
         decode_images(df).collect()
     assert decode_images(df, fake=True).count() == 1
+
+
+# ---- JPEG (real baseline decode: huffman + IDCT) ----
+
+def _jpeg_canonical(symbols):
+    """All symbols at one code length L with 2^L > n (canonical: code i for
+    symbol i). Returns (bits[16], values, {sym: (code, L)})."""
+    n = len(symbols)
+    L = 1
+    while (1 << L) <= n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    return bits, list(symbols), {s: (i, L) for i, s in enumerate(symbols)}
+
+
+def _jpeg_bytes(px, quant=None):
+    """Independent baseline-JPEG encoder (spec-written, not decoder-mirrored):
+    forward DCT, zigzag, quantization, canonical Huffman over the symbols
+    actually used, byte stuffing. px: (h, w, 3) uint8 RGB or (h, w) gray.
+    quant: 64 natural-order ints (default all-ones = numerically lossless
+    up to DCT/IDCT float rounding)."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import (
+        _ZIGZAG, _idct_matrix)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(float)]
+    else:
+        r, g, b = (px[..., i].astype(float) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    q = np.ones(64, int) if quant is None else np.asarray(quant, int)
+    m = _idct_matrix()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+
+    def block_coefs(plane, by, bx):
+        blk = np.full((8, 8), 128.0)
+        ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
+        blk[:ys, :xs] = plane[by * 8:by * 8 + ys, bx * 8:bx * 8 + xs]
+        coef = m.T @ (blk - 128.0) @ m        # forward orthonormal DCT
+        return np.round(coef.reshape(64) / q).astype(int)
+
+    # pass 1: symbol streams per block (interleaved 4:4:4 MCU order)
+    events, pred = [], [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                coef = block_coefs(plane, by, bx)
+                diff = coef[0] - pred[ci]
+                pred[ci] = coef[0]
+                t = 0 if diff == 0 else int(diff if diff > 0 else -diff
+                                            ).bit_length()
+                events.append(("dc", t, diff))
+                zz = [coef[_ZIGZAG[k]] for k in range(64)]
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, 64):
+                    if k > last_nz:
+                        events.append(("ac", 0x00, 0))      # EOB
+                        break
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        events.append(("ac", 0xF0, 0))      # ZRL
+                        run -= 16
+                    s = int(abs(zz[k])).bit_length()
+                    events.append(("ac", (run << 4) | s, zz[k]))
+                    run = 0
+                else:
+                    pass                                    # block ends at 63
+    dc_syms = sorted({t for kind, t, _ in events if kind == "dc"})
+    ac_syms = sorted({t for kind, t, _ in events if kind == "ac"})
+    dc_bits, dc_vals, dc_code = _jpeg_canonical(dc_syms)
+    ac_bits, ac_vals, ac_code = _jpeg_canonical(ac_syms)
+
+    out_bits = []
+
+    def put(code, nbits):
+        for i in range(nbits - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    for kind, sym, val in events:
+        code, L = (dc_code if kind == "dc" else ac_code)[sym]
+        put(code, L)
+        size = sym if kind == "dc" else (sym & 15)
+        if size:
+            v = val if val > 0 else val + (1 << size) - 1
+            put(v, size)
+    while len(out_bits) % 8:
+        out_bits.append(1)                                  # pad with 1s
+    raw = bytearray()
+    for i in range(0, len(out_bits), 8):
+        raw.append(int("".join(map(str, out_bits[i:i + 8])), 2))
+    stuffed = bytearray()
+    for byte in raw:
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    zz_q = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp]) + b"".join(bytes([cid + 1, 0x11, 0])
+                                    for cid in range(ncomp))
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals) \
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([ncomp]) + b"".join(bytes([cid + 1, 0x00])
+                                    for cid in range(ncomp)) \
+        + bytes([0x00, 0x3F, 0x00])
+    return (b"\xff\xd8" + seg(0xDB, bytes([0x00]) + zz_q) + seg(0xC0, sof)
+            + seg(0xC4, dht) + seg(0xDA, sos) + bytes(stuffed) + b"\xff\xd9")
+
+
+def test_jpeg_dc_only_blocks_decode_exactly():
+    """Per-8x8-block-constant images have DC-only spectra; with all-ones
+    quantization the round-trip is exact."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(5)
+    for h, w in [(8, 8), (16, 8), (24, 32), (8, 24)]:
+        blocks = rng.randint(0, 256, (h // 8, w // 8, 3))
+        px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+        gh, gw, got = _decode_jpeg(_jpeg_bytes(px))
+        assert (gh, gw) == (h, w)
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 1, (h, w)
+
+
+def test_jpeg_general_roundtrip_tolerance():
+    """Arbitrary content exercises AC runs/ZRL/EOB and Huffman width mix;
+    with all-ones quant the error is bounded by coefficient rounding."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(6)
+    for h, w, gray in [(8, 8, True), (13, 21, True), (16, 16, False),
+                       (9, 30, False)]:
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        gh, gw, got = _decode_jpeg(_jpeg_bytes(px))
+        assert (gh, gw) == (h, w)
+        want = np.stack([px] * 3, axis=2) if gray else px
+        err = np.abs(got.astype(int) - want.astype(int)).max()
+        assert err <= 4, (h, w, gray, err)
+
+
+def test_jpeg_quantization_lossy_but_close():
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(7)
+    px = rng.randint(96, 160, (16, 16, 3)).astype(np.uint8)
+    q = np.full(64, 4)
+    q[0] = 1
+    _, _, got = _decode_jpeg(_jpeg_bytes(px, quant=q))
+    err = np.abs(got.astype(int) - px.astype(int)).mean()
+    assert err < 8.0
+
+
+def test_jpeg_spark_path_and_scope(spark):
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import (
+        _decode_jpeg, decode_images)
+    px = np.repeat(np.repeat(
+        np.array([[[10, 130, 250]]], np.uint8), 8, 0), 8, 1)  # 8x8 constant
+    df = spark.createDataFrame([(3, bytearray(_jpeg_bytes(px)))],
+                               "id long, payload binary")
+    r = decode_images(df).collect()[0]
+    assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+    # progressive marker (SOF2) is honestly out of scope
+    buf = bytearray(_jpeg_bytes(px))
+    i = buf.index(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg(bytes(buf))
