@@ -1027,6 +1027,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contamination_flags(d, bench, n=3)
     q["C1_contamination"] = c1_contamination
 
+    def c1b_contamination_rowlocal(spark, sf_dir):
+        # ZERO-shuffle variant: benchmark shingle set broadcast into a
+        # row-local Arrow kernel (streaming-safe); same oracle SQL as C1
+        from pysemanticcomplexity_spark.operators.corpus import (
+            contamination_flags_rowlocal)
+        d = _docs(spark, sf_dir)
+        bench = d.filter(F.col("doc_id") % 53 == 0)
+        return contamination_flags_rowlocal(d, bench, n=3)
+    q["C1b_contamination_rowlocal"] = c1b_contamination_rowlocal
+
     def c2_stratified_sample(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.corpus import (
             stratified_sample)
@@ -2127,6 +2137,9 @@ SELECT d.doc_id AS id,
             ELSE 0.0 END AS contamination
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
 """
+
+    # C1b: the row-local kernel must reproduce the join version exactly
+    o["C1b_contamination_rowlocal"] = o["C1_contamination"]
 
     # C2: identical char fold + affine finishing step + per-stratum CASE
     from pysemanticcomplexity_spark.operators.corpus import (

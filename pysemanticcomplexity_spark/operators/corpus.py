@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame
 
 from .dedup import POLY_MOD, poly_hash_expr, shingles
 
-__all__ = ["contamination_flags", "stratified_sample", "SAMPLE_DENOM",
-           "SAMPLE_A", "SAMPLE_B"]
+__all__ = ["contamination_flags", "contamination_flags_rowlocal",
+           "stratified_sample", "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
 
 # fraction granularity for stratified_sample: fraction -> integer threshold
 SAMPLE_DENOM = 1_000_000
@@ -81,6 +81,62 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
                        F.col("n_contaminated") / F.col("n_shingles"))
                  .otherwise(F.lit(0.0)).cast("double")
                  .alias("contamination")))
+
+
+def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
+                                 n: int = 3, id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """ZERO-shuffle variant of ``contamination_flags``: per-document
+    contamination is row-local once the benchmark shingle set is known, so
+    the set is collected (bounded by benchmark size) and broadcast into an
+    Arrow-batched kernel — the corpus is scanned once and never shuffled,
+    and the operator is stateless, which also makes it legal mid-stream in
+    Structured Streaming (no aggregation state, no watermark needed).
+
+    Semantics match ``contamination_flags`` (same normalization /
+    shingling / zero-fill), asserted by an equality test; the python-side
+    normalization mirrors the JVM expression for ASCII whitespace (the
+    synthetic corpora and web text after P1 cleaning; exotic unicode
+    whitespace classes differ between Java and Python regexes and are out
+    of scope, documented here).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    from .dedup import shingles as _shingles
+
+    bench = {r["shingle"] for r in
+             _shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+             .select("shingle").distinct().collect()}
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(bench)
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def run(batches):
+        bset = bc.value
+        for pdf in batches:
+            ids, nsh, ncon, frac = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.sub(" ", (text or "").strip().lower()).split(" ")
+                if len(toks) >= n:
+                    sh = {" ".join(toks[k:k + n])
+                          for k in range(len(toks) - n + 1)}
+                    sh.discard("")
+                else:
+                    sh = set()
+                hit = sum(1 for s in sh if s in bset)
+                ids.append(int(i))
+                nsh.append(len(sh))
+                ncon.append(hit)
+                frac.append(hit / len(sh) if sh else 0.0)
+            yield pd.DataFrame({"id": ids, "n_shingles": nsh,
+                                "n_contaminated": ncon,
+                                "contamination": frac})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema="id long, n_shingles long, n_contaminated long, "
+                    "contamination double")
 
 
 def stratified_sample(docs: DataFrame, fractions: Dict[str, float],

@@ -116,3 +116,56 @@ def test_stratified_sample_validates_fractions(spark, docs_df):
 def test_stratified_sample_plan_is_filter_only(spark, docs_df):
     plan = plans.executed_plan(stratified_sample(docs_df, {"web": 0.5}))
     assert "Exchange" not in plan          # pure filter: no shuffle
+
+
+def test_rowlocal_contamination_equals_join_version(spark, docs_df):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal)
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string")
+    a = {r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination"])
+         for r in contamination_flags(docs_df, bench).collect()}
+    b = {r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination"])
+         for r in contamination_flags_rowlocal(docs_df, bench).collect()}
+    assert a == b
+
+
+def test_rowlocal_contamination_equals_join_on_testdata(spark):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 7 = 0")
+    a = sorted(map(tuple, contamination_flags(docs, bench).collect()))
+    b = sorted(map(tuple, contamination_flags_rowlocal(docs, bench).collect()))
+    assert a == b
+
+
+def test_rowlocal_contamination_zero_shuffle(spark, docs_df):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal)
+    bench = spark.createDataFrame([(100, "quick brown fox")],
+                                  "doc_id long, text string")
+    plan = plans.executed_plan(contamination_flags_rowlocal(docs_df, bench))
+    assert "Exchange" not in plan
+
+
+def test_rowlocal_contamination_streams(spark, tmp_path):
+    """Stateless => legal mid-stream with no watermark: an AvailableNow
+    drain over a file stream must produce exactly the batch result."""
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+    docs.coalesce(2).write.parquet(src)
+    bench = spark.createDataFrame([(100, "quick brown fox jumps high")],
+                                  "doc_id long, text string")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string").parquet(src)
+    q = (contamination_flags_rowlocal(stream, bench)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, contamination_flags_rowlocal(docs, bench).collect()))
+    assert got == want
