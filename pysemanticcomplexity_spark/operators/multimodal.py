@@ -353,12 +353,14 @@ def _decode_jpeg(buf: bytes):
     unstuffing, zigzag + dequantization, orthonormal-matrix IDCT, level
     shift, and YCbCr -> RGB (floor(x + 0.5) rounding — the spec does not
     mandate a rounding mode; this one is replicated by the SQL oracle).
-    Honest scope: no chroma subsampling (4:4:4 or grayscale only), no
-    progressive/arithmetic coding, no restart intervals."""
+    Restart intervals (DRI/RSTn) are supported: the scan is split at RSTn
+    markers and each segment restarts byte-aligned with DC predictors
+    reset. Honest scope: no chroma subsampling (4:4:4 or grayscale only),
+    no progressive/arithmetic coding."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
-    frame = None
+    frame, dri = None, 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
@@ -401,13 +403,13 @@ def _decode_jpeg(buf: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:         # DRI: restart interval in MCUs
+            dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:         # SOS: entropy data follows
             ns = seg[0]
             scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
                     for c in range(ns)]
-            data = bytearray()
+            segments, data = [], bytearray()
             while pos < len(buf):
                 b = buf[pos]
                 if b == 0xFF:
@@ -416,14 +418,21 @@ def _decode_jpeg(buf: bytes):
                         data.append(0xFF)
                         pos += 2
                         continue
+                    if 0xD0 <= nxt <= 0xD7:     # RSTn: segment boundary
+                        segments.append(bytes(data))
+                        data = bytearray()
+                        pos += 2
+                        continue
                     break            # a real marker ends the scan
                 data.append(b)
                 pos += 1
-            return _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, bytes(data))
+            segments.append(bytes(data))
+            return _jpeg_scan(frame, scan, qt, huff_dc, huff_ac,
+                              segments, dri)
     raise ValueError("JPEG: no scan data")
 
 
-def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, data):
+def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, segments, dri):
     if frame is None:
         raise ValueError("JPEG: SOS before SOF0")
     h, w, comps = frame
@@ -431,11 +440,19 @@ def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, data):
         raise NotImplementedError("multi-scan JPEG unsupported")
     m = _idct_matrix()
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    reader = _BitReaderMSB(data)
+    seg_i, mcu = 0, 0
+    reader = _BitReaderMSB(segments[0])
     planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
     pred = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
+            if dri and mcu and mcu % dri == 0:
+                seg_i += 1           # byte-aligned restart segment
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                reader = _BitReaderMSB(segments[seg_i])
+                pred = [0] * len(comps)
+            mcu += 1
             for ci, (_cid, tq) in enumerate(comps):
                 _sid, td, ta = scan[ci]
                 coef = np.zeros(64)

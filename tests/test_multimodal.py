@@ -395,12 +395,13 @@ def _jpeg_canonical(symbols):
     return bits, list(symbols), {s: (i, L) for i, s in enumerate(symbols)}
 
 
-def _jpeg_bytes(px, quant=None):
+def _jpeg_bytes(px, quant=None, restart=None):
     """Independent baseline-JPEG encoder (spec-written, not decoder-mirrored):
     forward DCT, zigzag, quantization, canonical Huffman over the symbols
     actually used, byte stuffing. px: (h, w, 3) uint8 RGB or (h, w) gray.
     quant: 64 natural-order ints (default all-ones = numerically lossless
-    up to DCT/IDCT float rounding)."""
+    up to DCT/IDCT float rounding). restart: emit DRI + RSTn every that
+    many MCUs (byte-aligned, DC predictors reset)."""
     import numpy as np
     from pysemanticcomplexity_spark.operators.multimodal import (
         _ZIGZAG, _idct_matrix)
@@ -424,10 +425,15 @@ def _jpeg_bytes(px, quant=None):
         coef = m.T @ (blk - 128.0) @ m        # forward orthonormal DCT
         return np.round(coef.reshape(64) / q).astype(int)
 
-    # pass 1: symbol streams per block (interleaved 4:4:4 MCU order)
-    events, pred = [], [0] * len(planes)
+    # pass 1: symbol streams per MCU (interleaved 4:4:4 MCU order)
+    mcu_events, pred, mcu_i = [], [0] * len(planes), 0
     for by in range(bh):
         for bx in range(bw):
+            if restart and mcu_i and mcu_i % restart == 0:
+                pred = [0] * len(planes)      # predictors reset at RST
+            mcu_i += 1
+            events = []
+            mcu_events.append(events)
             for ci, plane in enumerate(planes):
                 coef = block_coefs(plane, by, bx)
                 diff = coef[0] - pred[ci]
@@ -453,34 +459,40 @@ def _jpeg_bytes(px, quant=None):
                     run = 0
                 else:
                     pass                                    # block ends at 63
-    dc_syms = sorted({t for kind, t, _ in events if kind == "dc"})
-    ac_syms = sorted({t for kind, t, _ in events if kind == "ac"})
+    flat = [ev for events in mcu_events for ev in events]
+    dc_syms = sorted({t for kind, t, _ in flat if kind == "dc"})
+    ac_syms = sorted({t for kind, t, _ in flat if kind == "ac"})
     dc_bits, dc_vals, dc_code = _jpeg_canonical(dc_syms)
     ac_bits, ac_vals, ac_code = _jpeg_canonical(ac_syms)
 
-    out_bits = []
-
-    def put(code, nbits):
-        for i in range(nbits - 1, -1, -1):
-            out_bits.append((code >> i) & 1)
-
-    for kind, sym, val in events:
-        code, L = (dc_code if kind == "dc" else ac_code)[sym]
-        put(code, L)
-        size = sym if kind == "dc" else (sym & 15)
-        if size:
-            v = val if val > 0 else val + (1 << size) - 1
-            put(v, size)
-    while len(out_bits) % 8:
-        out_bits.append(1)                                  # pad with 1s
-    raw = bytearray()
-    for i in range(0, len(out_bits), 8):
-        raw.append(int("".join(map(str, out_bits[i:i + 8])), 2))
+    groups = ([mcu_events[i:i + restart]
+               for i in range(0, len(mcu_events), restart)]
+              if restart else [mcu_events])
     stuffed = bytearray()
-    for byte in raw:
-        stuffed.append(byte)
-        if byte == 0xFF:
-            stuffed.append(0x00)
+    for gi, group in enumerate(groups):
+        out_bits = []
+
+        def put(code, nbits):
+            for i in range(nbits - 1, -1, -1):
+                out_bits.append((code >> i) & 1)
+
+        for events in group:
+            for kind, sym, val in events:
+                code, L = (dc_code if kind == "dc" else ac_code)[sym]
+                put(code, L)
+                size = sym if kind == "dc" else (sym & 15)
+                if size:
+                    v = val if val > 0 else val + (1 << size) - 1
+                    put(v, size)
+        while len(out_bits) % 8:
+            out_bits.append(1)                              # pad with 1s
+        for i in range(0, len(out_bits), 8):
+            byte = int("".join(map(str, out_bits[i:i + 8])), 2)
+            stuffed.append(byte)
+            if byte == 0xFF:
+                stuffed.append(0x00)                        # entropy stuffing
+        if gi < len(groups) - 1:
+            stuffed += bytes([0xFF, 0xD0 + (gi % 8)])       # RSTn marker
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
@@ -496,8 +508,10 @@ def _jpeg_bytes(px, quant=None):
     sos = bytes([ncomp]) + b"".join(bytes([cid + 1, 0x00])
                                     for cid in range(ncomp)) \
         + bytes([0x00, 0x3F, 0x00])
-    return (b"\xff\xd8" + seg(0xDB, bytes([0x00]) + zz_q) + seg(0xC0, sof)
-            + seg(0xC4, dht) + seg(0xDA, sos) + bytes(stuffed) + b"\xff\xd9")
+    dri = seg(0xDD, restart.to_bytes(2, "big")) if restart else b""
+    return (b"\xff\xd8" + seg(0xDB, bytes([0x00]) + zz_q) + dri
+            + seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+            + bytes(stuffed) + b"\xff\xd9")
 
 
 def test_jpeg_dc_only_blocks_decode_exactly():
@@ -559,3 +573,16 @@ def test_jpeg_spark_path_and_scope(spark):
     buf[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         _decode_jpeg(bytes(buf))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: byte-aligned segments with DC predictor resets must decode
+    identically to the unrestarted stream."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, (24, 16, 3)).astype(np.uint8)   # 6 MCUs
+    base = _decode_jpeg(_jpeg_bytes(px))[2]
+    for restart in (1, 2, 4):
+        got = _decode_jpeg(_jpeg_bytes(px, restart=restart))[2]
+        assert (got == base).all(), restart
