@@ -10,11 +10,12 @@
   decompressor is implemented here): header/chunk parse,
   row-padding/bottom-up/BGR handling, full PNG scanline filter reversal
   (None/Sub/Up/Average/Paeth), per-channel statistics. Baseline sequential
-  JPEG (SOF0, 4:4:4 or grayscale — grayscale decodes to replicated RGB) is
-  ALSO decoded for real: canonical-Huffman entropy decode with byte
-  unstuffing, zigzag/dequant, orthonormal-matrix IDCT, YCbCr -> RGB.
-  Remaining out-of-scope formats (video; progressive/subsampled JPEG)
-  raise NotImplementedError unless ``fake=True``, which derives a
+  JPEG (SOF0 — grayscale decodes to replicated RGB) is ALSO decoded for
+  real: canonical-Huffman entropy decode with byte unstuffing, restart
+  intervals, 4:2:0/4:2:2/4:4:0 chroma subsampling, zigzag/dequant,
+  orthonormal-matrix IDCT, YCbCr -> RGB. Remaining out-of-scope formats
+  (video; progressive JPEG) raise NotImplementedError unless
+  ``fake=True``, which derives a
   deterministic fake geometry/feature vector from the byte content (so the
   distributed path, schema, and batching stay exercised for every format);
 * ``frame_sample``     — video frame-sampling contract (stubbed the same way).
@@ -355,8 +356,10 @@ def _decode_jpeg(buf: bytes):
     mandate a rounding mode; this one is replicated by the SQL oracle).
     Restart intervals (DRI/RSTn) are supported: the scan is split at RSTn
     markers and each segment restarts byte-aligned with DC predictors
-    reset. Honest scope: no chroma subsampling (4:4:4 or grayscale only),
-    no progressive/arithmetic coding."""
+    reset. Chroma subsampling with factors 1..2 (4:2:0 / 4:2:2 / 4:4:0 /
+    4:4:4, i.e. all common web layouts) is supported via the generalized
+    MCU block walk + nearest-neighbor upsampling. Honest scope: no
+    progressive/arithmetic coding, factors above 2."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
@@ -395,10 +398,15 @@ def _decode_jpeg(buf: bytes):
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                        f"sampling factor {hi}x{vi} out of scope (1..2)")
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if any(hmax % c[2] or vmax % c[3] for c in comps):
+                raise NotImplementedError("non-integer chroma upsampling")
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -439,13 +447,17 @@ def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, segments, dri):
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan JPEG unsupported")
     m = _idct_matrix()
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     seg_i, mcu = 0, 0
     reader = _BitReaderMSB(segments[0])
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8))
+              for _cid, _tq, hi, vi in comps]
     pred = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 seg_i += 1           # byte-aligned restart segment
                 if seg_i >= len(segments):
@@ -453,30 +465,43 @@ def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, segments, dri):
                 reader = _BitReaderMSB(segments[seg_i])
                 pred = [0] * len(comps)
             mcu += 1
-            for ci, (_cid, tq) in enumerate(comps):
+            for ci, (_cid, tq, hi, vi) in enumerate(comps):
                 _sid, td, ta = scan[ci]
-                coef = np.zeros(64)
-                t = _huff_decode(reader, huff_dc[td])
-                pred[ci] += _jpeg_extend(reader.read(t), t)
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(reader, huff_ac[ta])
-                    r, s = rs >> 4, rs & 15
-                    if rs == 0x00:   # EOB
-                        break
-                    if rs == 0xF0:   # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG: AC run past block end")
-                    coef[_ZIGZAG[k]] = _jpeg_extend(reader.read(s), s)
-                    k += 1
-                dq = coef * _natural_quant(qt[tq])
-                block = m @ dq.reshape(8, 8) @ m.T + 128
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                for v in range(vi):             # blocks raster-ordered
+                    for u in range(hi):         # within the MCU
+                        coef = np.zeros(64)
+                        t = _huff_decode(reader, huff_dc[td])
+                        pred[ci] += _jpeg_extend(reader.read(t), t)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0x00:      # EOB
+                                break
+                            if rs == 0xF0:      # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC run past block end")
+                            coef[_ZIGZAG[k]] = _jpeg_extend(reader.read(s), s)
+                            k += 1
+                        dq = coef * _natural_quant(qt[tq])
+                        block = m @ dq.reshape(8, 8) @ m.T + 128
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + u) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    # crop each component to its true size, then integer-upsample to full
+    # resolution (nearest neighbor — chroma replication per the factors)
+    full = []
+    for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+        wi = (w * hi + hmax - 1) // hmax
+        hti = (h * vi + vmax - 1) // vmax
+        p = planes[ci][:hti, :wi]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if len(comps) == 1:
         y = planes[0]
         rgb = np.stack([y, y, y], axis=2)

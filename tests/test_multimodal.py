@@ -395,13 +395,15 @@ def _jpeg_canonical(symbols):
     return bits, list(symbols), {s: (i, L) for i, s in enumerate(symbols)}
 
 
-def _jpeg_bytes(px, quant=None, restart=None):
+def _jpeg_bytes(px, quant=None, restart=None, sampling=None):
     """Independent baseline-JPEG encoder (spec-written, not decoder-mirrored):
     forward DCT, zigzag, quantization, canonical Huffman over the symbols
     actually used, byte stuffing. px: (h, w, 3) uint8 RGB or (h, w) gray.
     quant: 64 natural-order ints (default all-ones = numerically lossless
     up to DCT/IDCT float rounding). restart: emit DRI + RSTn every that
-    many MCUs (byte-aligned, DC predictors reset)."""
+    many MCUs (byte-aligned, DC predictors reset). sampling: per-component
+    (h, v) factors, e.g. ((2, 2), (1, 1), (1, 1)) for 4:2:0 (chroma is
+    box-averaged down)."""
     import numpy as np
     from pysemanticcomplexity_spark.operators.multimodal import (
         _ZIGZAG, _idct_matrix)
@@ -414,51 +416,79 @@ def _jpeg_bytes(px, quant=None, restart=None):
         planes = [0.299 * r + 0.587 * g + 0.114 * b,
                   128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
                   128 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    samp = sampling or tuple((1, 1) for _ in planes)
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
     q = np.ones(64, int) if quant is None else np.asarray(quant, int)
     m = _idct_matrix()
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+
+    def pad_to(plane, ph, pw):
+        out = np.empty((ph, pw))
+        ys, xs = plane.shape
+        out[:ys, :xs] = plane
+        out[ys:, :xs] = plane[-1:, :]
+        out[:ys, xs:] = plane[:, -1:]
+        out[ys:, xs:] = plane[-1, -1]
+        return out
+
+    comp_planes = []
+    for ci, plane in enumerate(planes):
+        sh, sv = samp[ci]
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:                    # box-average downsample
+            ph = (h + fy - 1) // fy * fy
+            pw = (w + fx - 1) // fx * fx
+            p = pad_to(plane, ph, pw)
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        comp_planes.append(plane)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     def block_coefs(plane, by, bx):
         blk = np.full((8, 8), 128.0)
-        ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
-        blk[:ys, :xs] = plane[by * 8:by * 8 + ys, bx * 8:bx * 8 + xs]
-        coef = m.T @ (blk - 128.0) @ m        # forward orthonormal DCT
+        ys = min(8, plane.shape[0] - by * 8)
+        xs = min(8, plane.shape[1] - bx * 8)
+        if ys > 0 and xs > 0:
+            blk[:ys, :xs] = plane[by * 8:by * 8 + ys, bx * 8:bx * 8 + xs]
+        coef = m.T @ (blk - 128.0) @ m          # forward orthonormal DCT
         return np.round(coef.reshape(64) / q).astype(int)
 
-    # pass 1: symbol streams per MCU (interleaved 4:4:4 MCU order)
+    # pass 1: symbol streams per MCU (per-comp raster blocks within it)
     mcu_events, pred, mcu_i = [], [0] * len(planes), 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart and mcu_i and mcu_i % restart == 0:
-                pred = [0] * len(planes)      # predictors reset at RST
+                pred = [0] * len(planes)        # predictors reset at RST
             mcu_i += 1
             events = []
             mcu_events.append(events)
-            for ci, plane in enumerate(planes):
-                coef = block_coefs(plane, by, bx)
-                diff = coef[0] - pred[ci]
-                pred[ci] = coef[0]
-                t = 0 if diff == 0 else int(diff if diff > 0 else -diff
-                                            ).bit_length()
-                events.append(("dc", t, diff))
-                zz = [coef[_ZIGZAG[k]] for k in range(64)]
-                run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, 64):
-                    if k > last_nz:
-                        events.append(("ac", 0x00, 0))      # EOB
-                        break
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        events.append(("ac", 0xF0, 0))      # ZRL
-                        run -= 16
-                    s = int(abs(zz[k])).bit_length()
-                    events.append(("ac", (run << 4) | s, zz[k]))
-                    run = 0
-                else:
-                    pass                                    # block ends at 63
+            for ci, plane in enumerate(comp_planes):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for u in range(sh):
+                        coef = block_coefs(plane, my * sv + v, mx * sh + u)
+                        diff = coef[0] - pred[ci]
+                        pred[ci] = coef[0]
+                        t = (0 if diff == 0
+                             else int(abs(int(diff))).bit_length())
+                        events.append(("dc", t, diff))
+                        zz = [coef[_ZIGZAG[k]] for k in range(64)]
+                        run = 0
+                        last_nz = max((k for k in range(1, 64) if zz[k]),
+                                      default=0)
+                        for k in range(1, 64):
+                            if k > last_nz:
+                                events.append(("ac", 0x00, 0))    # EOB
+                                break
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                events.append(("ac", 0xF0, 0))    # ZRL
+                                run -= 16
+                            sz = int(abs(int(zz[k]))).bit_length()
+                            events.append(("ac", (run << 4) | sz, zz[k]))
+                            run = 0
     flat = [ev for events in mcu_events for ev in events]
     dc_syms = sorted({t for kind, t, _ in flat if kind == "dc"})
     ac_syms = sorted({t for kind, t, _ in flat if kind == "ac"})
@@ -483,16 +513,16 @@ def _jpeg_bytes(px, quant=None, restart=None):
                 size = sym if kind == "dc" else (sym & 15)
                 if size:
                     v = val if val > 0 else val + (1 << size) - 1
-                    put(v, size)
+                    put(int(v), size)
         while len(out_bits) % 8:
-            out_bits.append(1)                              # pad with 1s
+            out_bits.append(1)                  # pad with 1s
         for i in range(0, len(out_bits), 8):
             byte = int("".join(map(str, out_bits[i:i + 8])), 2)
             stuffed.append(byte)
             if byte == 0xFF:
-                stuffed.append(0x00)                        # entropy stuffing
+                stuffed.append(0x00)            # entropy stuffing
         if gi < len(groups) - 1:
-            stuffed += bytes([0xFF, 0xD0 + (gi % 8)])       # RSTn marker
+            stuffed += bytes([0xFF, 0xD0 + (gi % 8)])   # RSTn marker
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
@@ -501,8 +531,9 @@ def _jpeg_bytes(px, quant=None, restart=None):
     zz_q = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
     ncomp = len(planes)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
-        + bytes([ncomp]) + b"".join(bytes([cid + 1, 0x11, 0])
-                                    for cid in range(ncomp))
+        + bytes([ncomp]) + b"".join(
+            bytes([cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0])
+            for cid in range(ncomp))
     dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals) \
         + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     sos = bytes([ncomp]) + b"".join(bytes([cid + 1, 0x00])
@@ -586,3 +617,57 @@ def test_jpeg_restart_intervals_roundtrip():
     for restart in (1, 2, 4):
         got = _decode_jpeg(_jpeg_bytes(px, restart=restart))[2]
         assert (got == base).all(), restart
+
+
+def test_jpeg_420_constant_chroma_exact():
+    """4:2:0: with spatially constant chroma the box-downsample/replicate
+    round-trip is exact, so only Y carries detail — decode must match the
+    4:4:4 encoding of the same image bit-for-bit."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(9)
+    y = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    px = np.stack([y, y, y], axis=2)            # r=g=b -> chroma == 128
+    base = _decode_jpeg(_jpeg_bytes(px))[2]
+    for sampling in [((2, 2), (1, 1), (1, 1)),  # 4:2:0
+                     ((2, 1), (1, 1), (1, 1)),  # 4:2:2
+                     ((1, 2), (1, 1), (1, 1))]: # 4:4:0
+        h, w, got = _decode_jpeg(_jpeg_bytes(px, sampling=sampling))
+        assert (h, w) == (24, 24)
+        assert (got == base).all(), sampling
+
+
+def test_jpeg_420_general_content_tolerance():
+    """Real 4:2:0 on arbitrary color content: chroma is lossy by design;
+    Y must stay sharp (luma error bounded by coefficient rounding) and
+    chroma error bounded by the downsample window spread."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(10)
+    # smooth chroma: block-constant color regions, random luma
+    color = np.repeat(np.repeat(
+        rng.randint(0, 256, (2, 2, 3)), 16, axis=0), 16, axis=1)
+    noise = rng.randint(-20, 21, (32, 32, 1))
+    px = np.clip(color + noise, 0, 255).astype(np.uint8)
+    h, w, got = _decode_jpeg(_jpeg_bytes(px, sampling=((2, 2), (1, 1), (1, 1))))
+    assert (h, w) == (32, 32)
+    err = np.abs(got.astype(int) - px.astype(int))
+    # interior of each 16x16 region has near-constant chroma
+    assert err.mean() < 6.0
+    # 4:2:0 with restart intervals composes
+    got2 = _decode_jpeg(_jpeg_bytes(px, sampling=((2, 2), (1, 1), (1, 1)),
+                                    restart=1))[2]
+    assert (got2 == got).all()
+
+
+def test_jpeg_odd_dimensions_with_subsampling():
+    """Non-multiple-of-16 geometry: MCU padding must crop away exactly."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(12)
+    y = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    px = np.stack([y, y, y], axis=2)
+    h, w, got = _decode_jpeg(_jpeg_bytes(px, sampling=((2, 2), (1, 1), (1, 1))))
+    assert (h, w) == (19, 21)
+    base = _decode_jpeg(_jpeg_bytes(px))[2]
+    assert (got == base).all()
