@@ -85,7 +85,8 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
 
 def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
                                  n: int = 3, id_col: str = "doc_id",
-                                 text_col: str = "text") -> DataFrame:
+                                 text_col: str = "text",
+                                 passthrough: bool = False) -> DataFrame:
     """ZERO-shuffle variant of ``contamination_flags``: per-document
     contamination is row-local once the benchmark shingle set is known, so
     the set is collected (bounded by benchmark size) and broadcast into an
@@ -99,6 +100,10 @@ def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
     synthetic corpora and web text after P1 cleaning; exotic unicode
     whitespace classes differ between Java and Python regexes and are out
     of scope, documented here).
+
+    ``passthrough=True`` keeps every input column and appends the three
+    flag columns instead of projecting to (id, flags) — the shape a
+    filter stage in a (streaming) pipeline needs.
     """
     import re as _re
 
@@ -116,8 +121,8 @@ def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
     def run(batches):
         bset = bc.value
         for pdf in batches:
-            ids, nsh, ncon, frac = [], [], [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
+            nsh, ncon, frac = [], [], []
+            for text in pdf[text_col]:
                 toks = ws.sub(" ", (text or "").strip().lower()).split(" ")
                 if len(toks) >= n:
                     sh = {" ".join(toks[k:k + n])
@@ -126,17 +131,25 @@ def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
                 else:
                     sh = set()
                 hit = sum(1 for s in sh if s in bset)
-                ids.append(int(i))
                 nsh.append(len(sh))
                 ncon.append(hit)
                 frac.append(hit / len(sh) if sh else 0.0)
-            yield pd.DataFrame({"id": ids, "n_shingles": nsh,
-                                "n_contaminated": ncon,
-                                "contamination": frac})
+            if passthrough:
+                out = pdf.copy().reset_index(drop=True)
+            else:
+                out = pd.DataFrame({"id": pdf[id_col].astype("int64")})
+            out["n_shingles"] = pd.Series(nsh, dtype="int64")
+            out["n_contaminated"] = pd.Series(ncon, dtype="int64")
+            out["contamination"] = pd.Series(frac, dtype="float64")
+            yield out
 
+    flags = "n_shingles long, n_contaminated long, contamination double"
+    if passthrough:
+        in_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                              for f in docs.schema.fields)
+        return docs.mapInPandas(run, schema=f"{in_schema}, {flags}")
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        run, schema="id long, n_shingles long, n_contaminated long, "
-                    "contamination double")
+        run, schema=f"id long, {flags}")
 
 
 def stratified_sample(docs: DataFrame, fractions: Dict[str, float],

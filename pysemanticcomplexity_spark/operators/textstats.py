@@ -9,7 +9,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 __all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint",
-           "winnow_fingerprints", "gopher_quality", "bpe_token_count"]
+           "winnow_fingerprints", "gopher_metric_exprs", "gopher_quality",
+           "bpe_token_count"]
 
 # tiny built-in stopword lists for the n-gram/stopword language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -118,6 +119,50 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             .select("id", "fp").distinct())
 
 
+def gopher_metric_exprs(text_col: str = "text", min_words: int = 50,
+                        max_words: int = 100_000):
+    """The Gopher metric/verdict expressions as an ordered dict of Columns
+    (row-local, so also legal mid-stream); ``gopher_quality`` is the batch
+    projection over them."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN), F.lit(0))
+    n = F.size(toks).cast("long")
+    nd = n.cast("double")
+    mean_len = F.when(n > 0, F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x)).cast("double") / nd)
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipses = F.regexp_count(t, F.lit(r"\.\.\."))
+    symbol_ratio = F.when(n > 0, (hashes + ellipses).cast("double") / nd)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*]")))
+    ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.[ \t]*$")))
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n > 0, alpha.cast("double") / nd)
+    stops = F.size(F.filter(
+        F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+        lambda s: F.array_contains(toks, s))).cast("long")
+    m = {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet.cast("double") / n_lines,
+        "ellipsis_line_frac": ell_end.cast("double") / n_lines,
+        "alpha_word_frac": alpha_frac,
+        "n_stopwords_present": stops,
+    }
+    passes = ((m["n_words"] >= min_words) & (m["n_words"] <= max_words)
+              & (m["mean_word_len"] >= 3) & (m["mean_word_len"] <= 10)
+              & (m["symbol_ratio"] < 0.1)
+              & (m["bullet_line_frac"] < 0.9)
+              & (m["ellipsis_line_frac"] < 0.3)
+              & (m["alpha_word_frac"] > 0.8)
+              & (m["n_stopwords_present"] >= 2))
+    m["passes"] = F.coalesce(passes, F.lit(False))
+    return m
+
+
 def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    min_words: int = 50, max_words: int = 100_000) -> DataFrame:
@@ -138,43 +183,9 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     Pure JVM expressions (scan-speed at 100 TB) and fully SQL-expressible —
     oracled as QF1_gopher_quality.
     """
-    t = F.col(text_col)
-    toks = F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN), F.lit(0))
-    n = F.size(toks).cast("long")
-    nd = n.cast("double")
-    mean_len = F.when(n > 0, F.aggregate(
-        toks, F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x)).cast("double") / nd)
-    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    ellipses = F.regexp_count(t, F.lit(r"\.\.\."))
-    symbol_ratio = F.when(n > 0, (hashes + ellipses).cast("double") / nd)
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines).cast("double")
-    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*]")))
-    ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.[ \t]*$")))
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-    alpha_frac = F.when(n > 0, alpha.cast("double") / nd)
-    stops = F.size(F.filter(
-        F.array(*[F.lit(s) for s in EN_STOPWORDS]),
-        lambda s: F.array_contains(toks, s))).cast("long")
-
-    out = docs.select(
-        F.col(id_col).alias("id"), n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        (bullet.cast("double") / n_lines).alias("bullet_line_frac"),
-        (ell_end.cast("double") / n_lines).alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stops.alias("n_stopwords_present"))
-    passes = ((F.col("n_words") >= min_words)
-              & (F.col("n_words") <= max_words)
-              & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
-              & (F.col("symbol_ratio") < 0.1)
-              & (F.col("bullet_line_frac") < 0.9)
-              & (F.col("ellipsis_line_frac") < 0.3)
-              & (F.col("alpha_word_frac") > 0.8)
-              & (F.col("n_stopwords_present") >= 2))
-    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+    m = gopher_metric_exprs(text_col, min_words, max_words)
+    return docs.select(F.col(id_col).alias("id"),
+                       *[expr.alias(name) for name, expr in m.items()])
 
 
 # GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible constructs

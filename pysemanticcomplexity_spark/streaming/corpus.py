@@ -1,0 +1,64 @@
+"""Incremental training-corpus preparation over a document stream.
+
+The batch corpus-prep composition (``E2E_corpus_prep``) translates to
+Structured Streaming almost for free because every stage but one is
+stateless:
+
+* stratified sampling   — pure filter (no state);
+* Gopher quality        — row-local expressions (no state);
+* decontamination       — ``contamination_flags_rowlocal`` with
+  ``passthrough=True`` (broadcast benchmark set, no state);
+* exact dedup           — the ONLY stateful stage, bounded by the
+  ``dropDuplicatesWithinWatermark`` horizon (first-arriving row per
+  128-bit normalized-text key is kept, matching streaming/dedup.py).
+
+At 100 TB/day this is the shape you want: the corpus stream crosses the
+pipeline in one pass, and the only distributed state is the dedup horizon.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..operators.corpus import contamination_flags_rowlocal, stratified_sample
+from ..operators.textstats import gopher_metric_exprs
+from .dedup import streaming_exact_dedup
+
+__all__ = ["streaming_corpus_prep"]
+
+_FLAG_COLS = ("n_shingles", "n_contaminated", "contamination")
+
+
+def streaming_corpus_prep(stream: DataFrame, benchmark: DataFrame,
+                          fractions: Dict[str, float], *,
+                          default_fraction: float = 0.0,
+                          contamination_threshold: float = 0.05,
+                          n: int = 3, min_words: int = 50,
+                          max_words: int = 100_000,
+                          ts_col: str = "event_ts",
+                          watermark: str = "1 hour",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          strata_col: str = "source") -> DataFrame:
+    """Streaming DataFrame of retained training documents (append mode).
+
+    Identical row-level semantics to the batch composition except for the
+    dedup representative: batch ``exact_dedup`` keeps the min-id row per
+    text key, the stream keeps the first-arriving row (the only meaningful
+    definition under unbounded input); the retained KEY set is identical,
+    which is what the equality test pins.
+    """
+    sampled = stratified_sample(stream, fractions, strata_col=strata_col,
+                                id_col=id_col,
+                                default_fraction=default_fraction)
+    qualified = sampled.where(
+        gopher_metric_exprs(text_col, min_words, max_words)["passes"])
+    flagged = contamination_flags_rowlocal(qualified, benchmark, n=n,
+                                           id_col=id_col, text_col=text_col,
+                                           passthrough=True)
+    clean = (flagged
+             .where(F.col("contamination") <= contamination_threshold)
+             .drop(*_FLAG_COLS))
+    return streaming_exact_dedup(clean, ts_col=ts_col, text_col=text_col,
+                                 watermark=watermark)

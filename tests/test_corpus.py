@@ -169,3 +169,77 @@ def test_rowlocal_contamination_streams(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, contamination_flags_rowlocal(docs, bench).collect()))
     assert got == want
+
+
+def test_rowlocal_passthrough_keeps_columns(spark, docs_df):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal)
+    bench = spark.createDataFrame([(100, "quick brown fox jumps high")],
+                                  "doc_id long, text string")
+    out = contamination_flags_rowlocal(docs_df, bench, passthrough=True)
+    assert out.columns == ["doc_id", "text", "source", "n_shingles",
+                           "n_contaminated", "contamination"]
+    a = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                       r["contamination"]) for r in out.collect()}
+    b = {r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination"])
+         for r in contamination_flags_rowlocal(docs_df, bench).collect()}
+    assert a == b
+
+
+def _prep_doc(i, stem):
+    # 60 tokens, >=2 distinct stopwords, mean word len in bounds, all
+    # alpha, and (crucially) shingles unique to the doc so only the
+    # deliberately-planted duplicate/contaminated rows overlap
+    words = ["the", "of", "to", "a"] + [f"{stem}w{k}" for k in range(56)]
+    return " ".join(words)
+
+
+def test_streaming_corpus_prep_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal, stratified_sample)
+    from pysemanticcomplexity_spark.operators.dedup import exact_key_cols
+    from pysemanticcomplexity_spark.operators.textstats import (
+        gopher_metric_exprs)
+    from pysemanticcomplexity_spark.streaming.corpus import (
+        streaming_corpus_prep)
+
+    rows = []
+    for i in range(8):
+        rows.append((i, _prep_doc(i, f"stem{i}"), "web",
+                     f"2024-01-01 10:0{i}:00"))
+    rows.append((8, rows[2][1], "web", "2024-01-01 10:08:00"))   # dup of 2
+    rows.append((9, "too short", "web", "2024-01-01 10:09:00"))  # fails QF
+    # contaminated: shares its entire text with the benchmark
+    rows.append((10, _prep_doc(10, "bench"), "web", "2024-01-01 10:10:00"))
+    schema = "doc_id long, text string, source string, event_ts string"
+    docs = spark.createDataFrame(rows, schema)
+    bench = spark.createDataFrame([(100, _prep_doc(10, "bench"))],
+                                  "doc_id long, text string")
+    fr = {"web": 1.0}
+
+    # batch reference: same stages, keep the retained key set
+    sampled = stratified_sample(docs, fr)
+    qualified = sampled.where(gopher_metric_exprs()["passes"])
+    clean = (contamination_flags_rowlocal(qualified, bench, passthrough=True)
+             .where(F.col("contamination") <= 0.05))
+    want_keys = {(r[0], r[1]) for r in clean.withColumns(
+        dict(zip(["hi", "lo"], exact_key_cols())))
+        .select("hi", "lo").distinct().collect()}
+    assert len(want_keys) == 8          # 8 unique quality docs survive
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_corpus_prep(stream, bench, fr)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    got_keys = {(r["text_key_hi"], r["text_key_lo"]) for r in got.collect()}
+    assert got_keys == want_keys
+    assert got.count() == len(want_keys)            # one winner per key
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 9 not in ids and 10 not in ids           # QF + contamination drops
+    assert len({2, 8} & ids) == 1                   # exactly one of the dups
