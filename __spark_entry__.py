@@ -1047,6 +1047,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source"))
     q["C2_stratified_sample"] = c2_stratified_sample
 
+    def c3_pack_sequences(spark, sf_dir):
+        # scalable two-phase prefix sum (value-bucketed) vs the oracle's
+        # single ORDER BY window — identical assignment required
+        from pysemanticcomplexity_spark.operators.corpus import pack_sequences
+        from pysemanticcomplexity_spark.operators.textstats import (
+            token_count_expr)
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+        return (pack_sequences(d, capacity=2048, num_ranges=8)
+                .select("id", "n_tokens", "tokens_before", "pack_id"))
+    q["C3_pack_sequences"] = c3_pack_sequences
+
     def e2e_corpus_prep(spark, sf_dir):
         # the whole training-corpus prep as ONE declarative plan:
         # Gopher quality filter -> exact-dedup representative keep ->
@@ -2158,6 +2171,23 @@ WHERE hh < CASE source
   WHEN 'src2' THEN {int(0.5 * SAMPLE_DENOM)}
   WHEN 'src3' THEN {int(0.25 * SAMPLE_DENOM)}
   ELSE {int(0.05 * SAMPLE_DENOM)} END
+"""
+
+    # C3: sequence packing — exclusive prefix sum of token counts in id
+    # order; the engine's two-phase bucketed implementation must equal the
+    # naive global window
+    o["C3_pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents)
+SELECT id, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY id) - n_tokens AS BIGINT)
+         AS tokens_before,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY id) - n_tokens) / 2048)
+            AS BIGINT) AS pack_id
+FROM t
 """
 
     # E2E: the composed corpus-prep pipeline, every stage reused from the

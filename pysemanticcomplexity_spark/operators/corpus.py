@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from .dedup import POLY_MOD, poly_hash_expr, shingles
 
 __all__ = ["contamination_flags", "contamination_flags_rowlocal",
-           "stratified_sample", "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
+           "pack_sequences", "stratified_sample",
+           "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
 
 # fraction granularity for stratified_sample: fraction -> integer threshold
 SAMPLE_DENOM = 1_000_000
@@ -150,6 +151,70 @@ def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
         return docs.mapInPandas(run, schema=f"{in_schema}, {flags}")
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, schema=f"id long, {flags}")
+
+
+def pack_sequences(docs: DataFrame, capacity: int,
+                   id_col: str = "doc_id", token_col: str = "n_tokens",
+                   num_ranges: int = 64) -> DataFrame:
+    """Assign documents to fixed-capacity training packs (sequence packing
+    for context windows): documents in ``id_col`` order fill packs
+    greedily, ``pack_id = floor(tokens_before / capacity)`` where
+    ``tokens_before`` is the exclusive prefix sum of ``token_col``. A
+    document starting inside pack k belongs to pack k even if it runs past
+    the boundary (packs can overflow by up to one document; split/pad
+    policy is the trainer's concern, the assignment is what must be
+    deterministic and engine-independent).
+
+    Returns (id, n_tokens, tokens_before, pack_id).
+
+    Scale shape: the naive formulation is a global ORDER BY window — ONE
+    partition, dead at 100 TB. Here the prefix sum is two-phase over
+    VALUE-based id buckets (boundaries from driver-side approxQuantile, so
+    both passes see identical buckets — no reliance on shuffle-sampling
+    determinism): per-bucket token totals are collected (num_ranges rows)
+    and turned into bucket starting offsets on the driver, then a
+    bucket-local cumulative sum (Window partitioned by bucket — parallel
+    across buckets) plus the literal offset. Two passes over two narrow
+    columns, no single-partition stage.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(token_col).alias("n_tokens"))
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(base.stat.approxQuantile("id", probs, 0.01)))
+    if bounds:
+        bucket = reduce(lambda a, b: a + b,
+                        [(F.col("id") > F.lit(b)).cast("int")
+                         for b in bounds])
+    else:
+        bucket = F.lit(0)
+    bucketed = base.withColumn("_bkt", bucket)
+    totals = {r["_bkt"]: r["tot"] for r in
+              bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("tot"))
+              .collect()}
+    offsets, acc = {}, 0
+    for bkt in sorted(totals):          # buckets are id-ordered by value
+        offsets[bkt] = acc
+        acc += totals[bkt]
+    off_expr = F.lit(0).cast("long")
+    for bkt in sorted(offsets):
+        off_expr = (F.when(F.col("_bkt") == bkt, F.lit(int(offsets[bkt])))
+                    .otherwise(off_expr))
+    win = Window.partitionBy("_bkt").orderBy("id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (bucketed
+            .withColumn("tokens_before",
+                        (off_expr + F.sum("n_tokens").over(win)
+                         - F.col("n_tokens")).cast("long"))
+            .withColumn("pack_id",
+                        F.floor(F.col("tokens_before") / capacity)
+                        .cast("long"))
+            .drop("_bkt"))
 
 
 def stratified_sample(docs: DataFrame, fractions: Dict[str, float],

@@ -243,3 +243,42 @@ def test_streaming_corpus_prep_equals_batch(spark, tmp_path):
     ids = {r["doc_id"] for r in got.collect()}
     assert 9 not in ids and 10 not in ids           # QF + contamination drops
     assert len({2, 8} & ids) == 1                   # exactly one of the dups
+
+
+def test_pack_sequences_matches_global_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pysemanticcomplexity_spark.operators.corpus import pack_sequences
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(int(i), int(t)) for i, t in
+            enumerate(rng.randint(1, 900, 500))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["id"]: (r["tokens_before"], r["pack_id"])
+           for r in pack_sequences(df, capacity=2048, num_ranges=8).collect()}
+    win = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = {r["doc_id"]: (r["tb"], r["pk"]) for r in df.select(
+        "doc_id",
+        (F.sum("n_tokens").over(win) - F.col("n_tokens")).alias("tb"),
+        F.floor((F.sum("n_tokens").over(win) - F.col("n_tokens")) / 2048)
+        .cast("long").alias("pk")).collect()}
+    assert got == want
+    # deterministic across invocations
+    got2 = {r["id"]: (r["tokens_before"], r["pack_id"])
+            for r in pack_sequences(df, capacity=2048, num_ranges=8).collect()}
+    assert got2 == got
+
+
+def test_pack_sequences_edge_cases(spark):
+    from pysemanticcomplexity_spark.operators.corpus import pack_sequences
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 10)], "doc_id long, n_tokens long")
+    out = {r["id"]: r["pack_id"]
+           for r in pack_sequences(df, capacity=1000).collect()}
+    # doc 2 exceeds a whole pack: starts in pack 0 (offset 10), doc 3
+    # starts at offset 5010 -> pack 5
+    assert out == {1: 0, 2: 0, 3: 5}
+    with _pytest.raises(ValueError):
+        pack_sequences(df, capacity=0)
