@@ -105,6 +105,14 @@ def main():
         fmt(q["E2E_corpus_prep"](spark, sf))))
 
     sections.append((
+        "C3_pack_sequences (scalable prefix sum)",
+        "No single-partition stage: the Window is PARTITIONED by the "
+        "value bucket (parallel across buckets) and the bucket offsets "
+        "are literals folded into the projection; the oracle's global "
+        "ORDER BY window would be one partition.",
+        fmt(q["C3_pack_sequences"](spark, sf))))
+
+    sections.append((
         "C2_stratified_sample (reproducible training mix)",
         "A pure Filter over the scan — zero Exchanges; the affine-finished "
         "poly hash and the stratum CASE both run inside WholeStageCodegen.",
