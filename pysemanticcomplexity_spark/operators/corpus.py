@@ -124,7 +124,11 @@ def contamination_flags_rowlocal(docs: DataFrame, benchmark: DataFrame,
         for pdf in batches:
             nsh, ncon, frac = [], [], []
             for text in pdf[text_col]:
-                toks = ws.sub(" ", (text or "").strip().lower()).split(" ")
+                # mirror the JVM order exactly: lower -> trim (SPACES
+                # only, like Spark/DuckDB trim — python .strip() would
+                # also eat \t/\n edges and change the shingle set) ->
+                # collapse \s+ (ASCII) -> split, keeping empty edge tokens
+                toks = ws.sub(" ", (text or "").lower().strip(" ")).split(" ")
                 if len(toks) >= n:
                     sh = {" ".join(toks[k:k + n])
                           for k in range(len(toks) - n + 1)}

@@ -72,10 +72,17 @@ def exact_key_cols(text_col: str = "text") -> list:
     Two independent 64-bit halves push the expected collision count to
     ~n^2/2^129 ≈ 1e-15 — safe past any real corpus. Both halves are plain
     JVM intrinsics, so the key is still far cheaper to shuffle than the
-    text itself."""
+    text itself.
+
+    Seeding detail that matters: Spark folds multi-argument xxhash64 left
+    to right (hash(a, b) = H(b, seed=H(a, seed0))), so the salt must come
+    FIRST — ``xxhash64(lit(1), norm)`` hashes the text under the derived
+    seed H(1), independent of ``xxhash64(norm)``. The other order,
+    ``xxhash64(norm, lit(1))``, is a pure function of the first half
+    (H(1, seed=hi)) and adds ZERO collision resistance."""
     norm = normalize_text(F.col(text_col))
     return [F.xxhash64(norm).alias("text_key_hi"),
-            F.xxhash64(norm, F.lit(1)).alias("text_key_lo")]
+            F.xxhash64(F.lit(1), norm).alias("text_key_lo")]
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -210,12 +217,14 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     (id_a, id_b, jaccard) for pairs >= threshold. The shingle join only
     touches docs sharing at least one shingle; at web scale pass
     ``candidates`` (an (id_a, id_b) frame, e.g. from lsh_candidate_pairs)
-    to make this the LSH *verification* stage: shingles are first
-    semi-joined down to docs that appear in any candidate pair, and the
-    intersection counts are then semi-joined to the candidate pairs
-    themselves — the shingle self-join never materializes a pair outside
-    the candidate set. Candidate pairs are order-normalized internally, so
-    either (a, b) or (b, a) restricts the same pair.
+    to make this the LSH *verification* stage: the intersection count is
+    then driven BY the candidate pairs (cand ⋈ a-shingles ⋈ b-shingles on
+    (id_b, shingle)), so work is bounded by the candidate set — a shingle
+    shared by many non-candidate docs never produces a pair row, unlike a
+    post-aggregation semi-join which would first build and count every
+    co-occurring pair among the candidate DOCS. Candidate pairs are
+    order-normalized internally, so either (a, b) or (b, a) restricts the
+    same pair.
     """
     if candidates is not None:
         cand = (candidates.select(
@@ -228,11 +237,14 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
     if candidates is not None:
-        inter = inter.join(cand, ["id_a", "id_b"], "semi")
+        inter = (cand.join(a, "id_a")
+                 .join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    else:
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
@@ -261,12 +273,17 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
 
     Candidates are order-normalized with least/greatest BEFORE deduplication
     so a pair survives if EITHER endpoint ranked the other in its top
-    ``candidates_k`` — in a duplicate cluster larger than candidates_k every
-    member still links to the cluster's smallest ids (ties break by
-    neighbor id ascending), so connected components downstream are preserved
-    exactly; the explicit pair list is complete for clusters up to
-    ~candidates_k members and a connectivity-preserving subset beyond (the
-    same contract as lsh_candidate_pairs' max_bucket_size star mode).
+    ``candidates_k``. For clusters of EXACTLY tied similarities (identical
+    vectors — the canonical dedup blob) ties break by neighbor id
+    ascending, so every member links to the cluster's smallest ids and
+    connected components downstream are preserved even past candidates_k
+    members. For clusters with internal similarity STRUCTURE above the
+    threshold (e.g. two tight clumps barely above t), top-k truncation can
+    drop every cross-clump pair once clump sizes exceed candidates_k —
+    size candidates_k above the largest expected sub-clump, or run
+    :func:`duplicate_clusters` on the union with simhash/minhash pairs,
+    which recover such splits from the text side. The explicit pair list
+    is complete for clusters up to ~candidates_k members.
 
     ``method='bruteforce'`` (or :func:`embedding_near_dups_bruteforce`) is
     the exact all-pairs crossJoin — the verification oracle for tests and
@@ -404,39 +421,57 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50,
     for short jobs, but NOT executor-loss-safe — a lost executor makes the
     truncated lineage unrecomputable). For cluster runs pass
     ``checkpoint_dir`` to switch to reliable ``checkpoint()`` into that
-    (HDFS/S3) directory. Raises if max_iters rounds do not converge.
+    (HDFS/S3) directory; the session's previous checkpoint directory is
+    restored on exit (when one was set — Spark cannot unset it, so a
+    session that never had one keeps this one afterwards). Raises if
+    max_iters rounds do not converge.
     """
+    sc = pairs.sparkSession.sparkContext
+    prev_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prev = sc._jsc.sc().getCheckpointDir()
+        prev_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
         ckpt = lambda df: df.checkpoint()
     else:
         ckpt = lambda df: df.localCheckpoint()
-    edges = ckpt(pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-                 .unionByName(pairs.select(F.col("id_b").alias("a"),
-                                           F.col("id_a").alias("b")))
-                 .distinct())
-    labels = (edges.select(F.col("a").alias("id"))
-              .distinct()
-              .withColumn("label", F.col("id")))
-    for _ in range(max_iters):
-        neigh = (edges.join(labels, edges["b"] == labels["id"])
-                 .groupBy(F.col("a").alias("id"))
-                 .agg(F.min("label").alias("nmin")))
-        half = (labels.join(neigh, "id", "left")
-                .select("id", F.least("label", F.coalesce("nmin", "label"))
-                        .alias("label")))
-        # pointer jump: label <- label(label). Labels are always node ids
-        # (invariant: label(x) <= x and label values come from the id set),
-        # so the lookup is a self-join; coalesce guards the invariant.
-        lab2 = half.select(F.col("id").alias("pid"),
-                           F.col("label").alias("plabel"))
-        new = ckpt(half.join(lab2, half["label"] == lab2["pid"], "left")
-                   .select(half["id"].alias("id"),
-                           F.coalesce("plabel", half["label"]).alias("label")))
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
-                   .filter(F.col("label") != F.col("old")))
-        labels = new
-        if changed.isEmpty():
-            return labels.select("id", F.col("label").alias("cluster_id"))
-    raise RuntimeError(f"duplicate_clusters did not converge in {max_iters} "
-                       "rounds")
+    try:
+        edges = ckpt(pairs.select(F.col("id_a").alias("a"),
+                                  F.col("id_b").alias("b"))
+                     .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                               F.col("id_a").alias("b")))
+                     .distinct())
+        labels = (edges.select(F.col("a").alias("id"))
+                  .distinct()
+                  .withColumn("label", F.col("id")))
+        for _ in range(max_iters):
+            neigh = (edges.join(labels, edges["b"] == labels["id"])
+                     .groupBy(F.col("a").alias("id"))
+                     .agg(F.min("label").alias("nmin")))
+            # checkpoint half: it feeds BOTH sides of the pointer-jump
+            # self-join below; uncheckpointed, the neighborhood-min
+            # aggregation would be recomputed twice per round
+            half = ckpt(labels.join(neigh, "id", "left")
+                        .select("id",
+                                F.least("label", F.coalesce("nmin", "label"))
+                                .alias("label")))
+            # pointer jump: label <- label(label). Labels are always node
+            # ids (invariant: label(x) <= x and label values come from the
+            # id set), so the lookup is a self-join; coalesce guards it.
+            lab2 = half.select(F.col("id").alias("pid"),
+                               F.col("label").alias("plabel"))
+            new = ckpt(half.join(lab2, half["label"] == lab2["pid"], "left")
+                       .select(half["id"].alias("id"),
+                               F.coalesce("plabel", half["label"])
+                               .alias("label")))
+            changed = (new.join(labels.withColumnRenamed("label", "old"),
+                                "id")
+                       .filter(F.col("label") != F.col("old")))
+            labels = new
+            if changed.isEmpty():
+                return labels.select("id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(f"duplicate_clusters did not converge in "
+                           f"{max_iters} rounds")
+    finally:
+        if prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)

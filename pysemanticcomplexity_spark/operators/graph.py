@@ -97,55 +97,65 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
     Per-round lineage truncation defaults to ``localCheckpoint`` (fast, but
     executor-local blocks are NOT recomputable after an executor loss); pass
     ``checkpoint_dir`` (HDFS/S3 on a real cluster) to switch to reliable
-    ``checkpoint()`` for fault-tolerant long runs.
+    ``checkpoint()`` for fault-tolerant long runs; the session's previous
+    checkpoint directory is restored on return (when one was set — Spark
+    cannot unset it otherwise).
     """
+    sc = edges.sparkSession.sparkContext
+    prev_dir = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prev = sc._jsc.sc().getCheckpointDir()
+        prev_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
         ckpt = lambda df: df.checkpoint()
     else:
         ckpt = lambda df: df.localCheckpoint()
-    if namespace_key is not None:
-        # every class in the original universe whose parents were ALL
-        # filtered out closes straight to the virtual root (the reference's
-        # per-class generate_parents(cls, ns) empty -> root rule) — this
-        # subsumes the parentless-tops rule of the unfiltered branch
-        ns = (namespaces or MANAGED_NAMESPACES)[namespace_key]
-        universe = (edges.select(F.col("child").alias("n"))
-                    .unionByName(edges.select(F.col("parent").alias("n")))
-                    .distinct())
-        kept = edges.filter(F.col("parent").startswith(ns))
-        with_parent = kept.select(F.col("child").alias("n")).distinct()
-        orphans = (universe.join(with_parent, "n", "left_anti")
-                   .select(F.col("n").alias("child"),
-                           F.lit(VIRTUAL_ROOT).alias("parent")))
-        e = ckpt(kept.select("child", "parent").unionByName(orphans)
-                 .distinct())
-    else:
-        # root-extended edge set: parentless parents close to the virtual root
-        children = edges.select(F.col("child").alias("c")).distinct()
-        tops = (edges.select(F.col("parent").alias("child")).distinct()
-                .join(children, F.col("child") == F.col("c"), "left_anti")
-                .select("child", F.lit(VIRTUAL_ROOT).alias("parent")))
-        # localCheckpoint truncates lineage each round — without it the
-        # logical plan doubles per iteration (anti-join references the
-        # running union) and Catalyst analysis time grows exponentially.
-        e = ckpt(edges.select("child", "parent").unionByName(tops)
-                 .distinct())
-    # fresh attribute ids for the join side (self-join disambiguation)
-    e_j = e.select(F.col("child").alias("j_child"), F.col("parent").alias("j_parent"))
+    try:
+        if namespace_key is not None:
+            # every class in the original universe whose parents were ALL
+            # filtered out closes straight to the virtual root (the reference's
+            # per-class generate_parents(cls, ns) empty -> root rule) — this
+            # subsumes the parentless-tops rule of the unfiltered branch
+            ns = (namespaces or MANAGED_NAMESPACES)[namespace_key]
+            universe = (edges.select(F.col("child").alias("n"))
+                        .unionByName(edges.select(F.col("parent").alias("n")))
+                        .distinct())
+            kept = edges.filter(F.col("parent").startswith(ns))
+            with_parent = kept.select(F.col("child").alias("n")).distinct()
+            orphans = (universe.join(with_parent, "n", "left_anti")
+                       .select(F.col("n").alias("child"),
+                               F.lit(VIRTUAL_ROOT).alias("parent")))
+            e = ckpt(kept.select("child", "parent").unionByName(orphans)
+                     .distinct())
+        else:
+            # root-extended edge set: parentless parents close to the virtual root
+            children = edges.select(F.col("child").alias("c")).distinct()
+            tops = (edges.select(F.col("parent").alias("child")).distinct()
+                    .join(children, F.col("child") == F.col("c"), "left_anti")
+                    .select("child", F.lit(VIRTUAL_ROOT).alias("parent")))
+            # localCheckpoint truncates lineage each round — without it the
+            # logical plan doubles per iteration (anti-join references the
+            # running union) and Catalyst analysis time grows exponentially.
+            e = ckpt(edges.select("child", "parent").unionByName(tops)
+                     .distinct())
+        # fresh attribute ids for the join side (self-join disambiguation)
+        e_j = e.select(F.col("child").alias("j_child"), F.col("parent").alias("j_parent"))
 
-    result = e.select(F.col("child").alias("cls"), F.col("parent").alias("anc"))
-    frontier = result
-    for _ in range(max_iters):
-        step = (frontier.join(F.broadcast(e_j), frontier["anc"] == e_j["j_child"])
-                .select(frontier["cls"], F.col("j_parent").alias("anc"))
-                .distinct())
-        new = ckpt(step.join(result, ["cls", "anc"], "left_anti"))
-        if new.isEmpty():
-            break
-        result = ckpt(result.unionByName(new))
-        frontier = new
-    return result
+        result = e.select(F.col("child").alias("cls"), F.col("parent").alias("anc"))
+        frontier = result
+        for _ in range(max_iters):
+            step = (frontier.join(F.broadcast(e_j), frontier["anc"] == e_j["j_child"])
+                    .select(frontier["cls"], F.col("j_parent").alias("anc"))
+                    .distinct())
+            new = ckpt(step.join(result, ["cls", "anc"], "left_anti"))
+            if new.isEmpty():
+                break
+            result = ckpt(result.unionByName(new))
+            frontier = new
+        return result
+    finally:
+        if prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)
 
 
 def resource_concepts(mentions: DataFrame, concept_info: DataFrame,

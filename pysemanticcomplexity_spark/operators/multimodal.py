@@ -255,7 +255,14 @@ def _decode_gif(buf: bytes):
             break
         else:
             raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
+    left, top = le16(pos + 1), le16(pos + 3)
     ih, iw = le16(pos + 7), le16(pos + 5)
+    if left or top or iw != le16(6) or ih != le16(8):
+        # compositing a sub-rectangle first frame onto the logical screen
+        # needs the background color/disposal model — out of scope, and
+        # silently reporting the sub-rectangle's geometry would be wrong
+        raise NotImplementedError(
+            "GIF first frame does not cover the logical screen")
     ipacked = buf[pos + 9]
     pos += 10
     table, interlaced = gct, (ipacked >> 6) & 1
@@ -447,6 +454,7 @@ def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, segments, dri):
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan JPEG unsupported")
     m = _idct_matrix()
+    nat_q = {tq: _natural_quant(tbl) for tq, tbl in qt.items()}
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -487,7 +495,7 @@ def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, segments, dri):
                                 raise ValueError("JPEG: AC run past block end")
                             coef[_ZIGZAG[k]] = _jpeg_extend(reader.read(s), s)
                             k += 1
-                        dq = coef * _natural_quant(qt[tq])
+                        dq = coef * nat_q[tq]
                         block = m @ dq.reshape(8, 8) @ m.T + 128
                         y0 = (my * vi + v) * 8
                         x0 = (mx * hi + u) * 8

@@ -130,6 +130,23 @@ def test_rowlocal_contamination_equals_join_version(spark, docs_df):
     assert a == b
 
 
+def test_rowlocal_contamination_whitespace_edges_match_join(spark):
+    """Leading/trailing \\t/\\n survive Spark trim() (spaces only) and
+    become an empty edge token after collapse; the Python kernel must
+    reproduce that exactly, not python-strip them away."""
+    from pysemanticcomplexity_spark.operators.corpus import (
+        contamination_flags_rowlocal)
+    rows = [(0, "\nquick brown fox jumps high\t"),
+            (1, "  quick brown fox jumps high  "),
+            (2, "\t\nquick brown\nfox\n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, "quick brown fox jumps high")],
+                                  "doc_id long, text string")
+    a = sorted(map(tuple, contamination_flags(df, bench).collect()))
+    b = sorted(map(tuple, contamination_flags_rowlocal(df, bench).collect()))
+    assert a == b
+
+
 def test_rowlocal_contamination_equals_join_on_testdata(spark):
     from pysemanticcomplexity_spark.operators.corpus import (
         contamination_flags_rowlocal)

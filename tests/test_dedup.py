@@ -233,6 +233,11 @@ def test_exact_dedup_key_is_128bit_composite(spark, docs):
     # the two halves are genuinely independent hash values
     row = docs.limit(1).select(*dedup.exact_key_cols()).collect()[0]
     assert row["text_key_hi"] != row["text_key_lo"]
+    # the salt must SEED the fold (xxhash64(lit, norm)), not trail it:
+    # xxhash64(norm, lit) is H(lit, seed=hi) — a pure function of the
+    # first half, which would leave only 64 bits of collision resistance.
+    lo_expr = str(dedup.exact_key_cols()[1]._jc)
+    assert lo_expr.startswith("xxhash64(1,"), lo_expr
 
 
 def test_jaccard_candidate_restriction(spark, docs):

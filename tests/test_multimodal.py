@@ -671,3 +671,16 @@ def test_jpeg_odd_dimensions_with_subsampling():
     assert (h, w) == (19, 21)
     base = _decode_jpeg(_jpeg_bytes(px))[2]
     assert (got == base).all()
+
+
+def test_gif_subrectangle_frame_rejected():
+    """A first frame not covering the logical screen needs the disposal/
+    background model — honestly out of scope, never silently mis-sized."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_gif
+    palette = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.zeros((2, 2), int)
+    buf = bytearray(_gif_bytes(idx, palette))
+    buf[6:8] = (4).to_bytes(2, "little")       # widen the logical screen
+    with pytest.raises(NotImplementedError, match="logical screen"):
+        _decode_gif(bytes(buf))
