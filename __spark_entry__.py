@@ -627,6 +627,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("tokens_per_word", 9).alias("tokens_per_word"))
     q["T5_bpe_token_count"] = t5_bpe
 
+    def t6_pii_scrub(spark, sf_dir):
+        # synthetic PII appended deterministically from doc_id (the corpus
+        # itself is clean) so the scrub regexes match for real; the oracle
+        # builds the identical text with || and the identical RE2 patterns
+        from pysemanticcomplexity_spark.operators.textstats import pii_scrub
+        d = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat("text", F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com ip 10.0.0."),
+                     (F.col("doc_id") % 200).cast("string"),
+                     F.lit(" call 555-123-4567 ssn 123-45-6789")))
+        return pii_scrub(d)
+    q["T6_pii_scrub"] = t6_pii_scrub
+
+    def qf3_repetition(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.textstats import (
+            repetition_stats)
+        return repetition_stats(_docs(spark, sf_dir))
+    q["QF3_repetition"] = qf3_repetition
+
     def qf2_source_rollup(spark, sf_dir):
         # governance rollup: Gopher pass-rate and token volume per source
         from pysemanticcomplexity_spark.operators.textstats import gopher_quality
@@ -1847,6 +1868,70 @@ SELECT id, CAST(bpe AS BIGINT) AS n_bpe_tokens, CAST(ws AS BIGINT) AS n_ws_token
        round(CASE WHEN ws > 0 THEN CAST(bpe AS DOUBLE) / ws END, 9)
            AS tokens_per_word
 FROM t
+"""
+
+    # T6: identical injected text, identical RE2 patterns, scrub order is
+    # part of the contract (email -> ssn -> phone -> ipv4)
+    from pysemanticcomplexity_spark.operators.textstats import PII_PATTERNS
+    _pii_text = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                 " || '@example.com ip 10.0.0.'"
+                 " || CAST(doc_id % 200 AS VARCHAR)"
+                 " || ' call 555-123-4567 ssn 123-45-6789'")
+    _scrub = _pii_text
+    for _n, _pat, _repl in PII_PATTERNS:
+        _scrub = (f"regexp_replace({_scrub}, "
+                  f"'{_pat}', '{_repl}', 'g')")
+    _cnt_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({_pii_text}, '{pat}')) AS BIGINT)"
+        f" AS n_{name}" for name, pat, _r in PII_PATTERNS)
+    _total = " + ".join(f"n_{name}" for name, _p, _r in PII_PATTERNS)
+    o["T6_pii_scrub"] = f"""
+WITH s AS (
+  SELECT doc_id AS id,
+       {_scrub} AS text,
+       {_cnt_cols}
+  FROM documents)
+SELECT id, text, n_email, n_ssn, n_phone, n_ipv4,
+       CAST({_total} AS BIGINT) AS n_pii
+FROM s
+"""
+
+    # QF3: repetition signals; trim() is space-only in BOTH engines, and
+    # the most-frequent 2-gram tie-break (cnt DESC, gram DESC) mirrors
+    # Spark's max over a (cnt, gram) struct
+    o["QF3_repetition"] = rf"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(list_transform(str_split(text, chr(10)),
+                                    l -> trim(l)),
+                     l -> length(l) > 0) AS lines,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+ls AS (
+  SELECT id, toks,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CASE WHEN len(lines) > 0 THEN
+           1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+           ELSE 0.0 END AS dup_line_frac,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS total_chars
+  FROM base),
+grams AS (
+  SELECT id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM ls, unnest(generate_series(1, len(toks) - 1)) u(i)
+  WHERE len(toks) >= 2),
+counted AS (SELECT id, gram, count(*) AS cnt FROM grams GROUP BY id, gram),
+top AS (
+  SELECT id, cnt, gram,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cnt DESC, gram DESC) AS rn
+  FROM counted)
+SELECT l.id, l.n_lines, l.dup_line_frac,
+       CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_2gram_count,
+       CASE WHEN l.total_chars > 0 AND t.cnt IS NOT NULL
+            THEN CAST(t.cnt * (length(t.gram) - 1) AS DOUBLE) / l.total_chars
+            ELSE 0.0 END AS top_2gram_frac
+FROM ls l LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON l.id = t.id
 """
 
     stop_list = "['the','a','of','and','to','in','is','it','that','for']"

@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint",
            "winnow_fingerprints", "gopher_metric_exprs", "gopher_quality",
-           "bpe_token_count"]
+           "bpe_token_count", "pii_scrub", "repetition_stats",
+           "PII_PATTERNS"]
 
 # tiny built-in stopword lists for the n-gram/stopword language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -212,3 +213,108 @@ def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
         bpe.cast("long").alias("n_bpe_tokens"),
         ws.cast("long").alias("n_ws_tokens"),
         F.when(ws > 0, bpe.cast("double") / ws).alias("tokens_per_word"))
+
+
+# PII patterns, deliberately RE2-compatible (no lookaround, ASCII classes)
+# so the DuckDB oracle runs the IDENTICAL expressions. Scrub order is part
+# of the contract: email first (an address contains digit runs a later
+# pattern could half-eat), then SSN, then phone, then IPv4.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, text, n_email, n_ssn, n_phone, n_ipv4, n_pii): redact the
+    standard PII classes with typed placeholders and count what was
+    removed — the scrub stage every distribution-grade corpus needs.
+
+    Counts are taken BEFORE any replacement and replacements then apply in
+    PII_PATTERNS order on the running text, so a span can only be claimed
+    by the first class that matches it. Pure JVM regexes (RE2-compatible,
+    mirrored verbatim by the SQL oracle) — scan-speed, no shuffle, and
+    row-local, so also legal mid-stream.
+    """
+    t = F.col(text_col)
+    counts = {name: F.regexp_count(t, F.lit(pat))
+              for name, pat, _ in PII_PATTERNS}
+    scrubbed = t
+    for _name, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    total = None
+    for name, _p, _r in PII_PATTERNS:
+        total = counts[name] if total is None else total + counts[name]
+    return docs.select(
+        F.col(id_col).alias("id"),
+        scrubbed.alias("text"),
+        *[counts[name].cast("long").alias(f"n_{name}")
+          for name, _p, _r in PII_PATTERNS],
+        total.cast("long").alias("n_pii"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.3), one row per
+    doc: (id, n_lines, dup_line_frac, top_2gram_count, top_2gram_frac).
+
+    * dup_line_frac   — fraction of lines that are repeats of an earlier
+      line: 1 - distinct/total over trimmed non-empty lines;
+    * top_2gram_frac  — characters covered by the most frequent word
+      2-gram (count * len) / total word characters; the classic boilerplate
+      detector. Most-frequent ties break to the lexicographically LARGEST
+      2-gram (max over a (count, gram) struct == ORDER BY cnt DESC, gram
+      DESC LIMIT 1 in the oracle) so the statistic is deterministic
+      cross-engine. Occurrences overlap ("x x x x" has three "x x"), so
+      the fraction can exceed 1 for degenerate repetition — still a valid
+      monotone filter signal; threshold accordingly.
+
+    The line part is pure array expressions; the 2-gram mode needs a
+    per-doc explode + count (map-side combinable, keyed by id — one
+    shuffle of (id, gram) pairs).
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0)
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines) \
+        .otherwise(0.0)
+    base = docs.select(F.col(id_col).alias("id"),
+                       n_lines.cast("long").alias("n_lines"),
+                       dup_frac.cast("double").alias("dup_line_frac"),
+                       F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN),
+                                            F.lit(0)).alias("_toks"))
+    idx = F.when(F.size("_toks") >= 2,
+                 F.sequence(F.lit(1), F.size("_toks") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id", "n_lines", "dup_line_frac",
+        F.aggregate("_toks", F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("total_chars"),
+        F.explode_outer(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.element_at("_toks", i),
+                                       F.element_at("_toks", i + 1))))
+        .alias("gram"))
+    counted = (grams.groupBy("id", "n_lines", "dup_line_frac",
+                             "total_chars", "gram")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    top = (counted.groupBy("id", "n_lines", "dup_line_frac", "total_chars")
+           .agg(F.max(F.when(F.col("gram").isNotNull(),
+                             F.struct("cnt", F.col("gram").alias("g"))))
+                .alias("_top")))
+    gram_chars = (F.length(F.col("_top.g"))
+                  - 1)                     # minus the joining space
+    return top.select(
+        "id", "n_lines", "dup_line_frac",
+        F.coalesce(F.col("_top.cnt"), F.lit(0)).cast("long")
+         .alias("top_2gram_count"),
+        F.when((F.col("total_chars") > 0) & F.col("_top").isNotNull(),
+               (F.col("_top.cnt") * gram_chars).cast("double")
+               / F.col("total_chars"))
+         .otherwise(0.0).cast("double").alias("top_2gram_frac"))

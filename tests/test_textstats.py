@@ -125,3 +125,64 @@ def test_bpe_token_count_gpt2_style(spark):
     assert got[3]["n_bpe_tokens"] == 6
     assert got[3]["tokens_per_word"] == 1.0
     assert got[1]["tokens_per_word"] == pytest.approx(7 / 5)
+
+
+def test_pii_scrub_matches_python(spark):
+    import re
+    from pysemanticcomplexity_spark.operators.textstats import (
+        PII_PATTERNS, pii_scrub)
+    rows = [
+        (0, "contact bob@example.com or 555-123-4567, server 10.0.0.1, "
+            "ssn 123-45-6789"),
+        (1, "two mails a@b.co c.d@e-f.org and +1 212-555-0000 nope"),
+        (2, "no pii here, just 1234 and 12.5 percent"),
+        (3, ""),
+        (4, "edge 999.999.999.999 and 123-45-678 (not an ssn)"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_scrub(df).collect()}
+    for i, text in rows:
+        scrubbed = text
+        for name, pat, repl in PII_PATTERNS:
+            assert got[i][f"n_{name}"] == len(re.findall(pat, text)), (i, name)
+            scrubbed = re.sub(pat, repl, scrubbed)
+        assert got[i]["text"] == scrubbed, i
+        assert got[i]["n_pii"] == sum(got[i][f"n_{n}"]
+                                      for n, _p, _r in PII_PATTERNS)
+    assert got[0]["text"] == ("contact <EMAIL> or <PHONE>, server <IP>, "
+                              "ssn <SSN>")
+    assert got[4]["n_ssn"] == 0                 # 123-45-678 is not an SSN
+
+
+def test_repetition_stats_matches_python(spark):
+    import re
+    from collections import Counter
+    from pysemanticcomplexity_spark.operators.textstats import (
+        repetition_stats)
+    rows = [
+        (0, "line a\nline a\nline b\n\nline a"),
+        (1, "spark spark spark spark joins data"),
+        (2, "all distinct lines\nhere truly\nno repeats at all"),
+        (3, ""),
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in repetition_stats(df).collect()}
+    for i, text in rows:
+        lines = [l.strip(" ") for l in text.split("\n")]
+        lines = [l for l in lines if l]
+        assert got[i]["n_lines"] == len(lines), i
+        want_dup = (1.0 - len(set(lines)) / len(lines)) if lines else 0.0
+        assert got[i]["dup_line_frac"] == pytest.approx(want_dup), i
+        toks = re.findall("[a-z0-9]+", text.lower())
+        grams = Counter(" ".join(toks[k:k + 2])
+                        for k in range(len(toks) - 1))
+        if grams:
+            best = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+            total = sum(len(t) for t in toks)
+            assert got[i]["top_2gram_count"] == best[1], i
+            want = best[1] * (len(best[0]) - 1) / total
+            assert got[i]["top_2gram_frac"] == pytest.approx(want), i
+        else:
+            assert got[i]["top_2gram_count"] == 0
+            assert got[i]["top_2gram_frac"] == 0.0
