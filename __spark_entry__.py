@@ -564,6 +564,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("cluster_id").cast("long").alias("cluster_id"))
     q["D6_dup_clusters"] = d6_clusters
 
+    def d7_fuzzy_retained(spark, sf_dir):
+        # one-call fuzzy-dedup retention over the same D2 pair graph:
+        # anti-join out every non-representative cluster member
+        from pysemanticcomplexity_spark.operators.dedup import (
+            fuzzy_dedup_retained)
+        d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        pairs = d2_jaccard(spark, sf_dir).select("id_a", "id_b")
+        return (fuzzy_dedup_retained(d, pairs=pairs)
+                .select("doc_id", "source"))
+    q["D7_fuzzy_retained"] = d7_fuzzy_retained
+
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
             embedding_near_dups_bruteforce)
@@ -1997,6 +2008,24 @@ reach(src, node) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
 SELECT CAST(src AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
 FROM reach GROUP BY src
+"""
+
+    # D7: retention after fuzzy dedup — recursive-CTE components, drop
+    # members whose id is not their cluster's min, anti-join semantics
+    o["D7_fuzzy_retained"] = f"""
+WITH RECURSIVE pairs AS ({o["D2_ngram_jaccard"]}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, node) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+clusters AS (SELECT src AS id, min(node) AS keep FROM reach GROUP BY src),
+drops AS (SELECT id FROM clusters WHERE id <> keep)
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN drops ON d.doc_id = drops.id
+WHERE drops.id IS NULL
 """
 
     # T4: winnowing (k=8 char-grams, window 4, poly hash) — same scheme,

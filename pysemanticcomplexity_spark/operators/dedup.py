@@ -54,7 +54,8 @@ def poly_hash_expr(col) -> F.Column:
 __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
            "simhash", "simhash_candidate_pairs", "embedding_near_dups",
-           "embedding_near_dups_bruteforce", "duplicate_clusters"]
+           "embedding_near_dups_bruteforce", "duplicate_clusters",
+           "fuzzy_dedup_retained"]
 
 
 def normalize_text(col) -> F.Column:
@@ -475,3 +476,40 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50,
     finally:
         if prev_dir is not None:
             sc.setCheckpointDir(prev_dir)
+
+
+def fuzzy_dedup_retained(docs: DataFrame, pairs: DataFrame = None,
+                         id_col: str = "doc_id", text_col: str = "text", *,
+                         threshold: float = 0.5, shingle_n: int = 3,
+                         num_hashes: int = 32, bands: int = 8,
+                         hash_fn: str = "xxhash64", max_iters: int = 50,
+                         checkpoint_dir: str = None) -> DataFrame:
+    """One-call fuzzy-dedup retention: the input rows minus every
+    non-representative member of a near-duplicate cluster (the cluster's
+    min id is kept; docs in no pair are trivially retained).
+
+    ``pairs`` (id_a, id_b) short-circuits candidate generation — pass
+    verified pairs from any source (minhash/simhash/embedding, or their
+    union). Without it the full pipeline runs: shingles -> minhash
+    signatures -> banded LSH candidates -> exact-Jaccard verification at
+    ``threshold``.
+
+    Scale: the pair pipeline is O(docs x bands); clustering converges in
+    O(log component-diameter) pointer-jump rounds; the final removal is a
+    single anti-join against the drop list (#duplicate-members minus
+    #clusters rows — broadcastable unless the corpus is mostly
+    duplicates, which is a crawl-configuration bug, not a dedup input).
+    """
+    if pairs is None:
+        sh = shingles(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+        sigs = minhash_signatures(sh, num_hashes=num_hashes, hash_fn=hash_fn)
+        cand = lsh_candidate_pairs(sigs, bands=bands, sig_len=num_hashes,
+                                   hash_fn=hash_fn)
+        pairs = (ngram_jaccard_pairs(sh, threshold=threshold,
+                                     candidates=cand)
+                 .select("id_a", "id_b"))
+    clusters = duplicate_clusters(pairs, max_iters=max_iters,
+                                  checkpoint_dir=checkpoint_dir)
+    drops = (clusters.filter(F.col("id") != F.col("cluster_id"))
+             .select(F.col("id").alias(id_col)))
+    return docs.join(drops, id_col, "left_anti")

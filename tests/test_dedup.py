@@ -298,3 +298,32 @@ def test_embedding_near_dups_mega_cluster_connectivity(spark):
                 for r in dedup.duplicate_clusters(pairs).collect()}
     assert {i for i in clusters} >= set(range(12))
     assert {clusters[i] for i in range(12)} == {0}   # ONE component
+
+
+def test_fuzzy_dedup_retained_with_planted_dups(spark):
+    """Pipeline path (pairs=None) and explicit-pairs path agree, keep each
+    cluster's min id, and leave singletons untouched."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [
+        (0, base + " alpha"),
+        (1, base + " alpha extra"),          # near-dup of 0
+        (2, base + " alpha extra"),          # exact dup of 1
+        (3, "completely different text about spark catalyst plans and "
+            "whole stage codegen in the optimizer pipeline"),
+        (4, "yet another unrelated document mentioning streams state "
+            "watermarks and exactly once file sinks"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            dedup.fuzzy_dedup_retained(docs, threshold=0.5).collect()}
+    assert kept == {0, 3, 4}
+    sh = dedup.shingles(docs)
+    pairs = dedup.ngram_jaccard_pairs(sh, threshold=0.5) \
+        .select("id_a", "id_b")
+    kept2 = {r["doc_id"] for r in
+             dedup.fuzzy_dedup_retained(docs, pairs=pairs).collect()}
+    assert kept2 == kept
+    # full rows are preserved for retained docs
+    out = dedup.fuzzy_dedup_retained(docs, pairs=pairs)
+    assert set(out.columns) == {"doc_id", "text"}
