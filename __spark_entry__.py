@@ -947,6 +947,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               for i in range(8)])
     q["MM5_jpeg_decode"] = mm5_jpeg_decode
 
+    def mm6_progressive_jpeg(spark, sf_dir):
+        # PROGRESSIVE encoding of the same DC-only 16x8 grayscale images
+        # (SOF2: DC first at Al=1, DC refinement, then an all-EOB AC scan)
+        # must decode to the identical closed-form statistics as MM5 —
+        # a hash-grade driver check of the successive-approximation path
+        from pysemanticcomplexity_spark.operators.multimodal import decode_images
+
+        def _make(ids):
+            W, H = 16, 8
+
+            def canon(symbols):
+                n, L = len(symbols), 1
+                while (1 << L) <= n:
+                    L += 1
+                bits = [0] * 16
+                bits[L - 1] = n
+                return bits, symbols, {s: (i, L) for i, s in enumerate(symbols)}
+
+            class BW:
+                def __init__(self):
+                    self.b = []
+
+                def put(self, code, n):
+                    for i in range(n - 1, -1, -1):
+                        self.b.append((code >> i) & 1)
+
+                def out(self):
+                    while len(self.b) % 8:
+                        self.b.append(1)
+                    raw = bytearray()
+                    for i in range(0, len(self.b), 8):
+                        byte = int("".join(map(str, self.b[i:i + 8])), 2)
+                        raw.append(byte)
+                        if byte == 0xFF:
+                            raw.append(0x00)
+                    return bytes(raw)
+
+            def seg(marker, payload):
+                return (bytes([0xFF, marker])
+                        + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+            def size(x):
+                return 0 if x == 0 else abs(x).bit_length()
+
+            def enc(d):
+                d = int(d)
+                dcs = [8 * (((d * 7 + p * 53) % 256) - 128) for p in range(2)]
+                # scan 1: DC first, Al=1 (arithmetic shift)
+                lvl = [dc >> 1 for dc in dcs]
+                diffs = [lvl[0], lvl[1] - lvl[0]]
+                dc_bits, dc_vals, dc_code = canon(
+                    sorted({size(x) for x in diffs}))
+                w1 = BW()
+                for diff in diffs:
+                    t = size(diff)
+                    w1.put(*dc_code[t])
+                    if t:
+                        w1.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                # scan 2: DC refinement, Ah=1 Al=0 — one bit per block
+                w2 = BW()
+                for dc in dcs:
+                    w2.put(dc & 1, 1)
+                # scan 3: AC first, band 1..63, Al=0 — both blocks empty:
+                # one EOB_1 code (r=1) + 0 extra-bit covers the 2 blocks
+                ac_bits, ac_vals, ac_code = canon([0x10])
+                w3 = BW()
+                w3.put(*ac_code[0x10])
+                w3.put(0, 1)                     # n=2 -> 2^1 + bit(0)
+                sof = (bytes([8]) + H.to_bytes(2, "big")
+                       + W.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+                out = bytearray(b"\xff\xd8"
+                                + seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+                                + seg(0xC2, sof))
+                out += seg(0xC4, bytes([0x00]) + bytes(dc_bits)
+                           + bytes(dc_vals))
+                out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + w1.out()
+                out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + w2.out()
+                out += seg(0xC4, bytes([0x10]) + bytes(ac_bits)
+                           + bytes(ac_vals))
+                out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + w3.out()
+                out += b"\xff\xd9"
+                return bytes(out)
+            return ids.map(enc)
+
+        make_jpeg = F.pandas_udf(_make, "binary")
+        imgs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), make_jpeg("doc_id").alias("payload"))
+        dec = decode_images(imgs)
+        return dec.select(
+            "id", F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+            F.col("channels").cast("long").alias("channels"),
+            *[F.round(F.get("features", i).cast("double"), 4).alias(f"f{i}")
+              for i in range(8)])
+    q["MM6_progressive_jpeg"] = mm6_progressive_jpeg
+
     # ---- rows-only entries (non-SQL-expressible; weaker driver check) -----
     def kg_triples_full(spark, sf_dir):
         from pysemanticcomplexity_spark.pipeline import KGPipeline
@@ -1813,6 +1909,10 @@ SELECT id, CAST(8 AS BIGINT) AS height, CAST(16 AS BIGINT) AS width,
        round((v0 + v1) / 2 / 255.0, 4) AS f7
 FROM v
 """
+
+    # MM6: progressive encoding carries the identical coefficients, so the
+    # expected statistics are the same closed form as MM5
+    o["MM6_progressive_jpeg"] = o["MM5_jpeg_decode"]
 
     o["Q5_multiway_join"] = """
 SELECT r_name, n_name,

@@ -9,12 +9,13 @@
   REAL in pure Python/numpy (+ stdlib zlib for PNG; the GIF LZW
   decompressor is implemented here): header/chunk parse,
   row-padding/bottom-up/BGR handling, full PNG scanline filter reversal
-  (None/Sub/Up/Average/Paeth), per-channel statistics. Baseline sequential
-  JPEG (SOF0 — grayscale decodes to replicated RGB) is ALSO decoded for
-  real: canonical-Huffman entropy decode with byte unstuffing, restart
-  intervals, 4:2:0/4:2:2/4:4:0 chroma subsampling, zigzag/dequant,
-  orthonormal-matrix IDCT, YCbCr -> RGB. Remaining out-of-scope formats
-  (video; progressive JPEG) raise NotImplementedError unless
+  (None/Sub/Up/Average/Paeth), per-channel statistics. Baseline (SOF0)
+  AND progressive (SOF2) JPEG are ALSO decoded for real (grayscale
+  decodes to replicated RGB): canonical-Huffman entropy decode with byte
+  unstuffing, restart intervals, 4:2:0/4:2:2/4:4:0 chroma subsampling,
+  progressive spectral selection + successive approximation, zigzag/
+  dequant, orthonormal-matrix IDCT, YCbCr -> RGB. The remaining
+  out-of-scope format (video) raises NotImplementedError unless
   ``fake=True``, which derives a
   deterministic fake geometry/feature vector from the byte content (so the
   distributed path, schema, and batching stay exercised for every format);
@@ -356,21 +357,23 @@ def _idct_matrix():
 
 
 def _decode_jpeg(buf: bytes):
-    """Baseline sequential JFIF/JPEG (SOF0) in pure numpy: marker walk,
-    DQT/DHT parse (canonical Huffman), entropy decode with byte
-    unstuffing, zigzag + dequantization, orthonormal-matrix IDCT, level
-    shift, and YCbCr -> RGB (floor(x + 0.5) rounding — the spec does not
-    mandate a rounding mode; this one is replicated by the SQL oracle).
-    Restart intervals (DRI/RSTn) are supported: the scan is split at RSTn
-    markers and each segment restarts byte-aligned with DC predictors
-    reset. Chroma subsampling with factors 1..2 (4:2:0 / 4:2:2 / 4:4:0 /
-    4:4:4, i.e. all common web layouts) is supported via the generalized
-    MCU block walk + nearest-neighbor upsampling. Honest scope: no
-    progressive/arithmetic coding, factors above 2."""
+    """Baseline (SOF0) AND progressive (SOF2) JPEG in pure numpy.
+
+    Every scan decodes into per-component coefficient planes; one shared
+    reconstruction pass then dequantizes, IDCTs (orthonormal matrix),
+    level-shifts, upsamples chroma, and converts YCbCr -> RGB with
+    floor(x + 0.5) rounding (the spec does not mandate a rounding mode;
+    this one is replicated by the SQL oracle). Supported: canonical
+    Huffman, byte unstuffing, restart intervals (DRI/RSTn, DC predictors
+    and EOB runs reset per segment), chroma subsampling with factors 1..2
+    (4:2:0 / 4:2:2 / 4:4:0 / 4:4:4), progressive spectral selection AND
+    successive approximation (DC/AC first + refinement scans, EOB runs).
+    Honest scope: no arithmetic coding, no 12-bit precision, factors
+    above 2. Grayscale decodes to replicated RGB."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos, qt, huff_dc, huff_ac = 2, {}, {}, {}
-    frame, dri = None, 0
+    frame, dri, coefs, any_scan = None, 0, None, False
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
@@ -398,7 +401,7 @@ def _decode_jpeg(buf: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _jpeg_huff_table(bits, values)
                 off += 17 + n
-        elif marker == 0xC0:         # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -414,16 +417,26 @@ def _decode_jpeg(buf: bytes):
             vmax = max(c[3] for c in comps)
             if any(hmax % c[2] or vmax % c[3] for c in comps):
                 raise NotImplementedError("non-integer chroma upsampling")
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (h, w, comps, marker == 0xC2)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [np.zeros((mcuy * vi * 8 // 8, mcux * hi * 8 // 8, 64),
+                              dtype=np.int64)
+                     for _cid, _tq, hi, vi in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential (SOF0)")
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) Huffman JPEG")
         elif marker == 0xDD:         # DRI: restart interval in MCUs
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:         # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
                     for c in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             segments, data = [], bytearray()
             while pos < len(buf):
                 b = buf[pos]
@@ -442,74 +455,198 @@ def _decode_jpeg(buf: bytes):
                 data.append(b)
                 pos += 1
             segments.append(bytes(data))
-            return _jpeg_scan(frame, scan, qt, huff_dc, huff_ac,
-                              segments, dri)
-    raise ValueError("JPEG: no scan data")
+            _jpeg_decode_scan(frame, scan, coefs, huff_dc, huff_ac,
+                              segments, dri, ss, se, ah, al)
+            any_scan = True
+        # other markers (APPn/COM/...) are skipped by the generic seg walk
+    if not any_scan:
+        raise ValueError("JPEG: no scan data")
+    return _jpeg_reconstruct(frame, coefs, qt)
 
 
-def _jpeg_scan(frame, scan, qt, huff_dc, huff_ac, segments, dri):
-    if frame is None:
-        raise ValueError("JPEG: SOS before SOF0")
-    h, w, comps = frame
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan JPEG unsupported")
-    m = _idct_matrix()
-    nat_q = {tq: _natural_quant(tbl) for tq, tbl in qt.items()}
+def _jpeg_decode_scan(frame, scan, coefs, huff_dc, huff_ac,
+                      segments, dri, ss, se, ah, al):
+    """Decode ONE scan into the coefficient planes.
+
+    Baseline scans are the ss=0, se=63, ah=al=0 case of the same four
+    branches. Progressive AC scans are single-component per the spec; DC
+    scans may interleave all components. EOB runs and DC predictors reset
+    at every restart segment."""
+    h, w, comps, progressive = frame
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("JPEG: progressive DC scan must have Se = 0")
+    if not progressive and (ss != 0 or se != 63 or ah or al):
+        raise ValueError("JPEG: unexpected spectral selection in a "
+                         "sequential scan")
+    by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
+    idxs = [by_id[sid] for sid, _td, _ta in scan]
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    seg_i, mcu = 0, 0
+    if ss == 0 and se > 0 and len(scan) > 1 and ah == 0 and al == 0:
+        pass                          # baseline full-band interleaved scan
+    elif ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be single-component")
+
+    if len(scan) > 1 or (len(comps) == 1):
+        # interleaved MCU walk (or the trivially-interleaved 1-comp frame)
+        units = []                   # (ci, td, ta, block_y, block_x) per MCU
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        n_units = mcuy * mcux
+
+        def blocks_of(mcu):
+            my, mx = divmod(mcu, mcux)
+            for pos_in_scan, ci in enumerate(idxs):
+                _cid, _tq, hi, vi = comps[ci]
+                _sid, td, ta = scan[pos_in_scan]
+                for v in range(vi):
+                    for u in range(hi):
+                        yield ci, td, ta, my * vi + v, mx * hi + u
+    else:
+        # non-interleaved: the component's own block grid
+        ci = idxs[0]
+        _cid, _tq, hi, vi = comps[ci]
+        _sid, td, ta = scan[0]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        bw = (cw + 7) // 8
+        bh = (ch + 7) // 8
+        n_units = bh * bw
+
+        def blocks_of(mcu):
+            yield ci, td, ta, mcu // bw, mcu % bw
+
+    seg_i = 0
     reader = _BitReaderMSB(segments[0])
-    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8))
-              for _cid, _tq, hi, vi in comps]
     pred = [0] * len(comps)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu and mcu % dri == 0:
-                seg_i += 1           # byte-aligned restart segment
-                if seg_i >= len(segments):
-                    raise ValueError("JPEG: missing restart segment")
-                reader = _BitReaderMSB(segments[seg_i])
-                pred = [0] * len(comps)
-            mcu += 1
-            for ci, (_cid, tq, hi, vi) in enumerate(comps):
-                _sid, td, ta = scan[ci]
-                for v in range(vi):             # blocks raster-ordered
-                    for u in range(hi):         # within the MCU
-                        coef = np.zeros(64)
-                        t = _huff_decode(reader, huff_dc[td])
-                        pred[ci] += _jpeg_extend(reader.read(t), t)
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, huff_ac[ta])
-                            r, s = rs >> 4, rs & 15
-                            if rs == 0x00:      # EOB
+    eobrun = 0
+    for mcu in range(n_units):
+        if dri and mcu and mcu % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            reader = _BitReaderMSB(segments[seg_i])
+            pred = [0] * len(comps)
+            eobrun = 0
+        for ci, td, ta, by, bx in blocks_of(mcu):
+            coef = coefs[ci][by, bx]
+            if ss == 0:              # DC (+ AC for baseline full scans)
+                if ah == 0:          # first DC pass
+                    t = _huff_decode(reader, huff_dc[td])
+                    pred[ci] += _jpeg_extend(reader.read(t), t)
+                    coef[0] = pred[ci] << al
+                else:                # DC refinement: one bit
+                    if reader.read(1):
+                        coef[0] |= 1 << al
+            if se == 0:
+                continue             # DC-only progressive scan
+            if ss == 0 and ah == 0 and al == 0 and len(scan) >= 1 \
+                    and not frame[3]:
+                k = 1                # baseline: AC follows DC in-block
+                while k <= 63:
+                    rs = _huff_decode(reader, huff_ac[ta])
+                    r, sbits = rs >> 4, rs & 15
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC run past block end")
+                    coef[_ZIGZAG[k]] = _jpeg_extend(reader.read(sbits), sbits)
+                    k += 1
+                continue
+            if ss == 0:
+                continue             # progressive DC scan carries no AC
+            # progressive AC scan over band [ss..se]
+            if ah == 0:              # first pass for this band/bit
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, huff_ac[ta])
+                    r, sbits = rs >> 4, rs & 15
+                    if sbits == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += 16      # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC run past band end")
+                    coef[_ZIGZAG[k]] = \
+                        _jpeg_extend(reader.read(sbits), sbits) << al
+                    k += 1
+            else:                    # AC refinement (libjpeg structure)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, huff_ac[ta])
+                        r, sbits = rs >> 4, rs & 15
+                        val = 0
+                        if sbits == 0:
+                            if r != 15:          # EOBn: run includes this
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read(r)
                                 break
-                            if rs == 0xF0:      # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC run past block end")
-                            coef[_ZIGZAG[k]] = _jpeg_extend(reader.read(s), s)
+                        else:
+                            if sbits != 1:
+                                raise ValueError(
+                                    "JPEG: refinement size must be 1")
+                            val = p1 if reader.read(1) else m1
+                        while k <= se:
+                            z = _ZIGZAG[k]
+                            if coef[z] != 0:
+                                if reader.read(1) and not (coef[z] & p1):
+                                    coef[z] += p1 if coef[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
                             k += 1
-                        dq = coef * nat_q[tq]
-                        block = m @ dq.reshape(8, 8) @ m.T + 128
-                        y0 = (my * vi + v) * 8
-                        x0 = (mx * hi + u) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-    # crop each component to its true size, then integer-upsample to full
-    # resolution (nearest neighbor — chroma replication per the factors)
-    full = []
-    for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+                        if val and k <= se:
+                            coef[_ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        z = _ZIGZAG[k]
+                        if coef[z] != 0 and reader.read(1) \
+                                and not (coef[z] & p1):
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _jpeg_reconstruct(frame, coefs, qt):
+    """Shared tail: dequantize + IDCT every block, crop each component to
+    its true size, integer-upsample chroma, YCbCr -> RGB."""
+    h, w, comps, _prog = frame
+    m = _idct_matrix()
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    planes = []
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        nat_q = _natural_quant(qt[tq])
+        grid = coefs[ci]
+        bh, bw = grid.shape[:2]
+        plane = np.empty((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                dq = grid[by, bx] * nat_q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    m @ dq.reshape(8, 8) @ m.T + 128
         wi = (w * hi + hmax - 1) // hmax
         hti = (h * vi + vmax - 1) // vmax
-        p = planes[ci][:hti, :wi]
+        p = plane[:hti, :wi]
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full.append(p[:h, :w])
-    planes = full
+        planes.append(p[:h, :w])
     if len(comps) == 1:
         y = planes[0]
         rgb = np.stack([y, y, y], axis=2)

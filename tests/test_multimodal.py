@@ -598,11 +598,12 @@ def test_jpeg_spark_path_and_scope(spark):
                                "id long, payload binary")
     r = decode_images(df).collect()[0]
     assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
-    # progressive marker (SOF2) is honestly out of scope
+    # flipping a baseline stream's SOF marker to SOF2 produces an illegal
+    # progressive scan (Ss=0 with Se=63) — rejected, never mis-decoded
     buf = bytearray(_jpeg_bytes(px))
     i = buf.index(b"\xff\xc0")
     buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se = 0"):
         _decode_jpeg(bytes(buf))
 
 
@@ -684,3 +685,375 @@ def test_gif_subrectangle_frame_rejected():
     buf[6:8] = (4).to_bytes(2, "little")       # widen the logical screen
     with pytest.raises(NotImplementedError, match="logical screen"):
         _decode_gif(bytes(buf))
+
+
+# ---- progressive JPEG (spectral selection + successive approximation) ----
+
+class _BitW:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, code, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bit(self, b):
+        self.bits.append(b & 1)
+
+    def bytes_stuffed(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = int("".join(map(str, self.bits[i:i + 8])), 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _prog_component_coefs(px, quant, sampling):
+    """Quantized DCT coefficient grids per component (natural order),
+    same math as the baseline encoder."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _idct_matrix
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(float)]
+    else:
+        r, g, b = (px[..., i].astype(float) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    samp = sampling or tuple((1, 1) for _ in planes)
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    q = np.ones(64, int) if quant is None else np.asarray(quant, int)
+    m = _idct_matrix()
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for ci, plane in enumerate(planes):
+        sh_f, sv_f = samp[ci]
+        fy, fx = vmax // sv_f, hmax // sh_f
+        if fy > 1 or fx > 1:
+            ph = (h + fy - 1) // fy * fy
+            pw = (w + fx - 1) // fx * fx
+            pad = np.empty((ph, pw))
+            ys, xs = plane.shape
+            pad[:ys, :xs] = plane
+            pad[ys:, :xs] = plane[-1:, :]
+            pad[:ys, xs:] = pad[:ys, xs - 1:xs]
+            plane = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        bh, bw = mcuy * sv_f, mcux * sh_f
+        grid = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.full((8, 8), 128.0)
+                ys = min(8, plane.shape[0] - by * 8)
+                xs = min(8, plane.shape[1] - bx * 8)
+                if ys > 0 and xs > 0:
+                    blk[:ys, :xs] = plane[by * 8:by * 8 + ys,
+                                          bx * 8:bx * 8 + xs]
+                coef = m.T @ (blk - 128.0) @ m
+                grid[by, bx] = np.round(coef.reshape(64) / q).astype(int)
+        grids.append(grid)
+    return h, w, samp, hmax, vmax, mcux, mcuy, q, grids
+
+
+def _jpeg_bytes_progressive(px, quant=None, sampling=None,
+                            dc_al=1, ac_al=1):
+    """Progressive encoder (spec-written): DC first at Al=dc_al +
+    refinement scans down to 0; per-component AC spectral bands [1..5] and
+    [6..63] first at Al=ac_al + refinement scans down to 0, with EOB runs
+    and buffered correction bits (libjpeg bit order)."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _ZIGZAG
+    h, w, samp, hmax, vmax, mcux, mcuy, q, grids = \
+        _prog_component_coefs(px, quant, sampling)
+    ncomp = len(grids)
+    scans = []                       # (header_bytes, entropy_bytes)
+
+    def canon_codes(symbols):
+        bits, vals, codes = _jpeg_canonical(sorted(set(symbols)))
+        return bits, vals, codes
+
+    def size_of(v):
+        return 0 if v == 0 else int(abs(int(v))).bit_length()
+
+    def mag_bits(v, t):
+        return v if v > 0 else v + (1 << t) - 1
+
+    # --- scan 1: DC first, interleaved, Al=dc_al
+    events = []
+    pred = [0] * ncomp
+    for mcu in range(mcuy * mcux):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            sh_f, sv_f = samp[ci]
+            for v in range(sv_f):
+                for u in range(sh_f):
+                    dc = int(grids[ci][my * sv_f + v, mx * sh_f + u, 0]) \
+                        >> dc_al
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    events.append(diff)
+    bits_t, vals_t, codes = canon_codes([size_of(d) for d in events])
+    wtr = _BitW()
+    for diff in events:
+        t = size_of(diff)
+        c, L = codes[t]
+        wtr.put(c, L)
+        if t:
+            wtr.put(mag_bits(diff, t), t)
+    scans.append((("dc", 0, 0, 0, dc_al, None, bits_t, vals_t, None, None),
+                  wtr.bytes_stuffed()))
+
+    # --- DC refinement scans
+    for lvl in range(dc_al - 1, -1, -1):
+        wtr = _BitW()
+        for mcu in range(mcuy * mcux):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                sh_f, sv_f = samp[ci]
+                for v in range(sv_f):
+                    for u in range(sh_f):
+                        dc = int(grids[ci][my * sv_f + v, mx * sh_f + u, 0])
+                        wtr.bit((dc >> lvl) & 1)
+        scans.append((("dcr", 0, 0, lvl + 1, lvl, None, None, None,
+                       None, None), wtr.bytes_stuffed()))
+
+    bands = [(1, 5), (6, 63)]
+
+    def ac_first_scan(ci, ss, se, al):
+        grid = grids[ci]
+        sh_f, sv_f = samp[ci]
+        cw = (w * sh_f + hmax - 1) // hmax
+        ch = (h * sv_f + vmax - 1) // vmax
+        bw_c, bh_c = (cw + 7) // 8, (ch + 7) // 8
+        syms, stream = [], []        # stream: ("sym", rs, extra, nbits) |
+        eobrun = 0                   #         ("raw", value, nbits)
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                syms.append(r << 4)
+                stream.append(("sym", r << 4, n - (1 << r), r))
+                eobrun -= n
+
+        for b in range(bh_c * bw_c):
+            by, bx = b // bw_c, b % bw_c
+            zz = [int(grid[by, bx, _ZIGZAG[k]]) for k in range(64)]
+            vals = [(0 if zz[k] == 0
+                     else (abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1))
+                    for k in range(64)]
+            nz = [k for k in range(ss, se + 1) if vals[k] != 0]
+            if not nz:
+                eobrun += 1
+                continue
+            flush_eob()
+            r = 0
+            for k in range(ss, se + 1):
+                v = vals[k]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    syms.append(0xF0)
+                    stream.append(("sym", 0xF0, 0, 0))
+                    r -= 16
+                t = size_of(v)
+                syms.append((r << 4) | t)
+                stream.append(("sym", (r << 4) | t, mag_bits(v, t), t))
+                r = 0
+                if k == nz[-1]:
+                    break
+            if nz[-1] < se:
+                eobrun += 1
+        flush_eob()
+        bits_t, vals_t, codes = canon_codes(syms or [0x00])
+        wtr = _BitW()
+        for kind, rs, extra, nbits in stream:
+            c, L = codes[rs]
+            wtr.put(c, L)
+            if nbits:
+                wtr.put(extra, nbits)
+        return (("ac", ss, se, 0, al, ci, None, None, bits_t, vals_t),
+                wtr.bytes_stuffed())
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        grid = grids[ci]
+        sh_f, sv_f = samp[ci]
+        cw = (w * sh_f + hmax - 1) // hmax
+        ch = (h * sv_f + vmax - 1) // vmax
+        bw_c, bh_c = (cw + 7) // 8, (ch + 7) // 8
+        syms, stream = [], []
+        eobrun, be = 0, []           # pending EOB run + correction bits
+
+        def flush_eob():
+            nonlocal eobrun, be
+            while eobrun > 0:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                syms.append(r << 4)
+                stream.append(("sym", r << 4, n - (1 << r), r))
+                for bbit in be:
+                    stream.append(("bit", bbit, None, None))
+                be = []
+                eobrun -= n
+            if be:                   # pure correction bits w/o EOB pending
+                raise AssertionError("corr bits without EOB context")
+
+        for b in range(bh_c * bw_c):
+            by, bx = b // bw_c, b % bw_c
+            zz = [int(grid[by, bx, _ZIGZAG[k]]) for k in range(64)]
+            amag = [abs(zz[k]) >> al for k in range(64)]
+            old = [abs(zz[k]) >> ah != 0 for k in range(64)]
+            newpos = [k for k in range(ss, se + 1)
+                      if amag[k] == 1 and not old[k]]
+            if not newpos:
+                eobrun += 1
+                be.extend(amag[k] & 1 for k in range(ss, se + 1) if old[k])
+                continue
+            flush_eob()
+            r, pend = 0, []
+            last_new = newpos[-1]
+            for k in range(ss, se + 1):
+                if old[k]:
+                    pend.append(amag[k] & 1)
+                    continue
+                if amag[k] == 1:     # newly significant
+                    while r > 15:
+                        syms.append(0xF0)
+                        stream.append(("sym", 0xF0, 0, 0))
+                        for bbit in pend:
+                            stream.append(("bit", bbit, None, None))
+                        pend = []
+                        r -= 16
+                    syms.append((r << 4) | 1)
+                    stream.append(("sym", (r << 4) | 1,
+                                   1 if zz[k] > 0 else 0, 1))
+                    for bbit in pend:
+                        stream.append(("bit", bbit, None, None))
+                    pend = []
+                    r = 0
+                    if k == last_new:
+                        tail = [amag[k2] & 1 for k2 in range(k + 1, se + 1)
+                                if old[k2]]
+                        if k < se:
+                            eobrun = 1
+                            be = tail
+                        break
+                else:
+                    r += 1
+        flush_eob()
+        bits_t, vals_t, codes = canon_codes(syms or [0x00])
+        wtr = _BitW()
+        for item in stream:
+            if item[0] == "bit":
+                wtr.bit(item[1])
+            else:
+                _k, rs, extra, nbits = item
+                c, L = codes[rs]
+                wtr.put(c, L)
+                if nbits:
+                    wtr.put(extra, nbits)
+        return (("acr", ss, se, ah, al, ci, None, None, bits_t, vals_t),
+                wtr.bytes_stuffed())
+
+    for ss, se in bands:
+        for ci in range(ncomp):
+            scans.append(ac_first_scan(ci, ss, se, ac_al))
+    for lvl in range(ac_al - 1, -1, -1):
+        for ss, se in bands:
+            for ci in range(ncomp):
+                scans.append(ac_refine_scan(ci, ss, se, lvl + 1, lvl))
+
+    # --- assemble the file
+    from pysemanticcomplexity_spark.operators.multimodal import _ZIGZAG as ZZ
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    zz_q = bytes(int(q[ZZ[k]]) for k in range(64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp]) + b"".join(
+            bytes([cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0])
+            for cid in range(ncomp))
+    out = bytearray(b"\xff\xd8" + seg(0xDB, bytes([0x00]) + zz_q)
+                    + seg(0xC2, sof))
+    for meta, entropy in scans:
+        kind, ss, se, ah, al, ci, dbits, dvals, abits, avals = meta
+        if kind == "dc":
+            out += seg(0xC4, bytes([0x00]) + bytes(dbits) + bytes(dvals))
+            comps_in_scan = list(range(ncomp))
+            tds = {c: (0, 0) for c in comps_in_scan}
+        elif kind == "dcr":
+            comps_in_scan = list(range(ncomp))
+            tds = {c: (0, 0) for c in comps_in_scan}
+        else:
+            out += seg(0xC4, bytes([0x10]) + bytes(abits) + bytes(avals))
+            comps_in_scan = [ci]
+            tds = {ci: (0, 0)}
+        sos = bytes([len(comps_in_scan)]) + b"".join(
+            bytes([c + 1, (tds[c][0] << 4) | tds[c][1]])
+            for c in comps_in_scan) + bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos) + entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Progressive scans must reconstruct the IDENTICAL coefficient arrays
+    the baseline stream carries, so decoded pixels match bit-for-bit."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(21)
+    for h, w, gray, samp in [
+            (8, 8, True, None),
+            (16, 24, True, None),
+            (16, 16, False, None),
+            (13, 21, False, None),
+            (32, 32, False, ((2, 2), (1, 1), (1, 1)))]:
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        base = _decode_jpeg(_jpeg_bytes(px, sampling=samp))[2]
+        gh, gw, got = _decode_jpeg(
+            _jpeg_bytes_progressive(px, sampling=samp))
+        assert (gh, gw) == (h, w), (h, w, gray)
+        assert (got == base).all(), (h, w, gray, samp)
+
+
+def test_progressive_jpeg_approximation_depths():
+    """Deeper successive approximation (more refinement scans) must still
+    converge to the exact coefficients."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(22)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    base = _decode_jpeg(_jpeg_bytes(px))[2]
+    for dc_al, ac_al in [(0, 0), (1, 1), (2, 2), (3, 1), (1, 3)]:
+        got = _decode_jpeg(_jpeg_bytes_progressive(
+            px, dc_al=dc_al, ac_al=ac_al))[2]
+        assert (got == base).all(), (dc_al, ac_al)
+
+
+def test_progressive_jpeg_sparse_long_eob_runs():
+    """Coarse quantization makes most blocks band-empty, driving EOB runs
+    that span many blocks (with buffered correction bits across the run)."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_jpeg
+    rng = np.random.RandomState(23)
+    smooth = np.repeat(np.repeat(
+        rng.randint(60, 200, (4, 4, 3)), 8, axis=0), 8, axis=1)
+    px = np.clip(smooth + rng.randint(-3, 4, (32, 32, 3)), 0,
+                 255).astype(np.uint8)
+    q = np.full(64, 16)
+    q[0] = 1
+    base = _decode_jpeg(_jpeg_bytes(px, quant=q))[2]
+    got = _decode_jpeg(_jpeg_bytes_progressive(px, quant=q, ac_al=2))[2]
+    assert (got == base).all()
