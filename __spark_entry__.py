@@ -1988,23 +1988,27 @@ FROM t
                  " || '@example.com ip 10.0.0.'"
                  " || CAST(doc_id % 200 AS VARCHAR)"
                  " || ' call 555-123-4567 ssn 123-45-6789'")
-    _scrub = _pii_text
-    for _n, _pat, _repl in PII_PATTERNS:
-        _scrub = (f"regexp_replace({_scrub}, "
-                  f"'{_pat}', '{_repl}', 'g')")
-    _cnt_cols = ",\n       ".join(
-        f"CAST(len(regexp_extract_all({_pii_text}, '{pat}')) AS BIGINT)"
-        f" AS n_{name}" for name, pat, _r in PII_PATTERNS)
+    # each class counts on the RUNNING text then replaces (same sequential
+    # semantics as pii_scrub) — staged CTEs, one per class
+    _stages = [f"s0 AS (SELECT doc_id AS id, {_pii_text} AS t FROM documents)"]
+    _carried = []
+    for _i, (_name, _pat, _repl) in enumerate(PII_PATTERNS):
+        _prev = ", ".join(f"n_{c}" for c in _carried)
+        _prev = (_prev + ", ") if _prev else ""
+        _stages.append(
+            f"s{_i + 1} AS (SELECT id, {_prev}"
+            f"CAST(len(regexp_extract_all(t, '{_pat}')) AS BIGINT)"
+            f" AS n_{_name}, "
+            f"regexp_replace(t, '{_pat}', '{_repl}', 'g') AS t"
+            f" FROM s{_i})")
+        _carried.append(_name)
     _total = " + ".join(f"n_{name}" for name, _p, _r in PII_PATTERNS)
+    _stages_sql = ",\n".join(_stages)
     o["T6_pii_scrub"] = f"""
-WITH s AS (
-  SELECT doc_id AS id,
-       {_scrub} AS text,
-       {_cnt_cols}
-  FROM documents)
-SELECT id, text, n_email, n_ssn, n_phone, n_ipv4,
+WITH {_stages_sql}
+SELECT id, t AS text, n_email, n_ssn, n_phone, n_ipv4,
        CAST({_total} AS BIGINT) AS n_pii
-FROM s
+FROM s{len(PII_PATTERNS)}
 """
 
     # QF3: repetition signals; trim() is space-only in BOTH engines, and

@@ -23,6 +23,8 @@ characters).
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -51,11 +53,32 @@ def poly_hash_expr(col) -> F.Column:
     return F.aggregate(chars, F.lit(0).cast("long"),
                        lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_MOD)
 
+
+@contextmanager
+def reliable_checkpointer(sc, checkpoint_dir):
+    """Yield a DataFrame -> DataFrame lineage-truncation function for
+    iterative operators: reliable ``checkpoint()`` into ``checkpoint_dir``
+    when one is given (the session's previous checkpoint directory is
+    restored on exit when it had one — Spark cannot unset it otherwise),
+    else ``localCheckpoint()`` (fast, executor-local, NOT recomputable
+    after an executor loss)."""
+    if checkpoint_dir is None:
+        yield (lambda df: df.localCheckpoint())
+        return
+    prev = sc._jsc.sc().getCheckpointDir()
+    prev_dir = prev.get() if prev.isDefined() else None
+    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        yield (lambda df: df.checkpoint())
+    finally:
+        if prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)
+
 __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
            "simhash", "simhash_candidate_pairs", "embedding_near_dups",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
-           "fuzzy_dedup_retained"]
+           "fuzzy_dedup_retained", "reliable_checkpointer"]
 
 
 def normalize_text(col) -> F.Column:
@@ -230,7 +253,9 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     if candidates is not None:
         cand = (candidates.select(
             F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b")).distinct())
+            F.greatest("id_a", "id_b").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))   # drop reflexive pairs
+            .distinct())
         ids = (cand.select(F.col("id_a").alias("id"))
                .unionByName(cand.select(F.col("id_b").alias("id")))
                .distinct())
@@ -428,15 +453,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50,
     max_iters rounds do not converge.
     """
     sc = pairs.sparkSession.sparkContext
-    prev_dir = None
-    if checkpoint_dir is not None:
-        prev = sc._jsc.sc().getCheckpointDir()
-        prev_dir = prev.get() if prev.isDefined() else None
-        sc.setCheckpointDir(checkpoint_dir)
-        ckpt = lambda df: df.checkpoint()
-    else:
-        ckpt = lambda df: df.localCheckpoint()
-    try:
+    with reliable_checkpointer(sc, checkpoint_dir) as ckpt:
         edges = ckpt(pairs.select(F.col("id_a").alias("a"),
                                   F.col("id_b").alias("b"))
                      .unionByName(pairs.select(F.col("id_b").alias("a"),
@@ -473,9 +490,6 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50,
                 return labels.select("id", F.col("label").alias("cluster_id"))
         raise RuntimeError(f"duplicate_clusters did not converge in "
                            f"{max_iters} rounds")
-    finally:
-        if prev_dir is not None:
-            sc.setCheckpointDir(prev_dir)
 
 
 def fuzzy_dedup_retained(docs: DataFrame, pairs: DataFrame = None,

@@ -101,16 +101,10 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
     checkpoint directory is restored on return (when one was set — Spark
     cannot unset it otherwise).
     """
+    from .dedup import reliable_checkpointer
+
     sc = edges.sparkSession.sparkContext
-    prev_dir = None
-    if checkpoint_dir is not None:
-        prev = sc._jsc.sc().getCheckpointDir()
-        prev_dir = prev.get() if prev.isDefined() else None
-        sc.setCheckpointDir(checkpoint_dir)
-        ckpt = lambda df: df.checkpoint()
-    else:
-        ckpt = lambda df: df.localCheckpoint()
-    try:
+    with reliable_checkpointer(sc, checkpoint_dir) as ckpt:
         if namespace_key is not None:
             # every class in the original universe whose parents were ALL
             # filtered out closes straight to the virtual root (the reference's
@@ -153,9 +147,6 @@ def iterative_closure(edges: DataFrame, max_iters: int = 64,
             result = ckpt(result.unionByName(new))
             frontier = new
         return result
-    finally:
-        if prev_dir is not None:
-            sc.setCheckpointDir(prev_dir)
 
 
 def resource_concepts(mentions: DataFrame, concept_info: DataFrame,

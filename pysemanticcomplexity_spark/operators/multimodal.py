@@ -479,17 +479,18 @@ def _jpeg_decode_scan(frame, scan, coefs, huff_dc, huff_ac,
         raise ValueError("JPEG: unexpected spectral selection in a "
                          "sequential scan")
     by_id = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
-    idxs = [by_id[sid] for sid, _td, _ta in scan]
+    try:
+        idxs = [by_id[sid] for sid, _td, _ta in scan]
+    except KeyError as exc:
+        raise ValueError(f"JPEG: scan names component {exc} absent "
+                         "from SOF") from None
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
-    if ss == 0 and se > 0 and len(scan) > 1 and ah == 0 and al == 0:
-        pass                          # baseline full-band interleaved scan
-    elif ss > 0 and len(scan) != 1:
+    if ss > 0 and len(scan) != 1:
         raise ValueError("JPEG: progressive AC scan must be single-component")
 
     if len(scan) > 1 or (len(comps) == 1):
         # interleaved MCU walk (or the trivially-interleaved 1-comp frame)
-        units = []                   # (ci, td, ta, block_y, block_x) per MCU
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         n_units = mcuy * mcux
@@ -540,8 +541,7 @@ def _jpeg_decode_scan(frame, scan, coefs, huff_dc, huff_ac,
                         coef[0] |= 1 << al
             if se == 0:
                 continue             # DC-only progressive scan
-            if ss == 0 and ah == 0 and al == 0 and len(scan) >= 1 \
-                    and not frame[3]:
+            if ss == 0 and ah == 0 and al == 0 and not frame[3]:
                 k = 1                # baseline: AC follows DC in-block
                 while k <= 63:
                     rs = _huff_decode(reader, huff_ac[ta])
@@ -730,8 +730,9 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                 else:
                     raise NotImplementedError(
                         "video decode requires a codec library (absent "
-                        "here); PPM/BMP/PNG/GIF/baseline-JPEG decode for "
-                        "real, or pass fake=True for the plumbing path")
+                        "here); PPM/BMP/PNG/GIF and baseline+progressive "
+                        "JPEG decode for real, or pass fake=True for the "
+                        "plumbing path")
                 out["id"].append(int(i))
                 out["height"].append(int(h))
                 out["width"].append(int(w))

@@ -233,17 +233,18 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     standard PII classes with typed placeholders and count what was
     removed — the scrub stage every distribution-grade corpus needs.
 
-    Counts are taken BEFORE any replacement and replacements then apply in
-    PII_PATTERNS order on the running text, so a span can only be claimed
-    by the first class that matches it. Pure JVM regexes (RE2-compatible,
-    mirrored verbatim by the SQL oracle) — scan-speed, no shuffle, and
+    Each class is counted on the RUNNING text (after earlier classes were
+    replaced) and then replaced, so a span is counted by exactly the class
+    that redacts it — n_pii equals the number of placeholders emitted
+    (e.g. a phone-shaped digit run inside an email address counts once,
+    as email). Pure JVM regexes (RE2-compatible, mirrored verbatim by the
+    SQL oracle, same sequential order) — scan-speed, no shuffle, and
     row-local, so also legal mid-stream.
     """
-    t = F.col(text_col)
-    counts = {name: F.regexp_count(t, F.lit(pat))
-              for name, pat, _ in PII_PATTERNS}
-    scrubbed = t
-    for _name, pat, repl in PII_PATTERNS:
+    counts = {}
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.regexp_count(scrubbed, F.lit(pat))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     total = None
     for name, _p, _r in PII_PATTERNS:

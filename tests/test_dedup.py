@@ -327,3 +327,13 @@ def test_fuzzy_dedup_retained_with_planted_dups(spark):
     # full rows are preserved for retained docs
     out = dedup.fuzzy_dedup_retained(docs, pairs=pairs)
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_jaccard_candidates_reflexive_pairs_dropped(spark, docs):
+    """A degenerate (x, x) candidate must never produce a self-pair row."""
+    sh = dedup.shingles(docs, n=3)
+    cand = spark.createDataFrame([(0, 0), (3, 0)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.ngram_jaccard_pairs(sh, threshold=0.1,
+                                     candidates=cand).collect()}
+    assert got == {(0, 3)}

@@ -144,7 +144,9 @@ def test_pii_scrub_matches_python(spark):
     for i, text in rows:
         scrubbed = text
         for name, pat, repl in PII_PATTERNS:
-            assert got[i][f"n_{name}"] == len(re.findall(pat, text)), (i, name)
+            # sequential semantics: each class counts on the RUNNING text
+            assert got[i][f"n_{name}"] == len(re.findall(pat, scrubbed)), \
+                (i, name)
             scrubbed = re.sub(pat, repl, scrubbed)
         assert got[i]["text"] == scrubbed, i
         assert got[i]["n_pii"] == sum(got[i][f"n_{n}"]
@@ -186,3 +188,16 @@ def test_repetition_stats_matches_python(spark):
         else:
             assert got[i]["top_2gram_count"] == 0
             assert got[i]["top_2gram_frac"] == 0.0
+
+
+def test_pii_scrub_overlapping_span_counted_once(spark):
+    """A phone-shaped run inside an email must be claimed by email alone:
+    n_pii equals the number of placeholders actually emitted."""
+    from pysemanticcomplexity_spark.operators.textstats import pii_scrub
+    df = spark.createDataFrame(
+        [(0, "reach me at 555-123-4567@example.com")],
+        "doc_id long, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r["text"] == "reach me at <EMAIL>"
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+    assert r["n_pii"] == 1
