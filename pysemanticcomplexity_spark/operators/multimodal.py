@@ -4,12 +4,13 @@
   detection (works on real bytes);
 * ``decode_images``    — mapInPandas kernel with the (binary -> height,
   width, channels, features) contract. Binary PPM ``P6``, 24-bit
-  uncompressed BMP, non-interlaced 8-bit RGB/RGBA PNG, AND GIF87a/89a
-  (first frame, incl. interlace and local color tables) are decoded FOR
-  REAL in pure Python/numpy (+ stdlib zlib for PNG; the GIF LZW
-  decompressor is implemented here): header/chunk parse,
-  row-padding/bottom-up/BGR handling, full PNG scanline filter reversal
-  (None/Sub/Up/Average/Paeth), per-channel statistics. Baseline (SOF0)
+  uncompressed BMP, 8-bit PNG (gray / RGB / palette / gray+alpha / RGBA,
+  non-interlaced AND Adam7), AND GIF87a/89a (first frame, incl. interlace
+  and local color tables) are decoded FOR REAL in pure Python/numpy
+  (+ stdlib zlib for PNG; the GIF LZW decompressor is implemented here):
+  header/chunk parse, row-padding/bottom-up/BGR handling, full PNG
+  scanline filter reversal (None/Sub/Up/Average/Paeth), per-channel
+  statistics. Baseline (SOF0)
   AND progressive (SOF2) JPEG are ALSO decoded for real (grayscale
   decodes to replicated RGB): canonical-Huffman entropy decode with byte
   unstuffing, restart intervals, 4:2:0/4:2:2/4:4:0 chroma subsampling,
@@ -104,49 +105,20 @@ def _decode_bmp(buf: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(buf: bytes):
-    """Non-interlaced 8-bit truecolor PNG (color types 2=RGB, 6=RGBA) in
-    pure numpy + stdlib zlib: chunk walk (IHDR geometry, IDAT concatenation),
-    one zlib inflate, then per-scanline reversal of the five PNG filters
-    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth). Up/None rows are vectorized;
-    Sub/Average/Paeth are sequential along the row by definition (each byte
-    depends on the reconstructed left neighbor). Raises NotImplementedError
-    for interlaced / paletted / non-8-bit images (honest scope: those need a
-    wider codec, not more math)."""
-    if buf[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(buf):
-        ln = int.from_bytes(buf[pos:pos + 4], "big")
-        typ = buf[pos + 4:pos + 8]
-        data = buf[pos + 8:pos + 8 + ln]
-        pos += 12 + ln                      # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG decode: missing IHDR/IDAT chunk")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, color, _comp, _filt, interlace = ihdr[8:13]
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or interlace != 0 or nch not in (3, 4):
-        raise NotImplementedError(
-            f"only non-interlaced 8-bit RGB/RGBA PNG supported "
-            f"(depth={depth} color_type={color} interlace={interlace})")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]   # x0, y0, dx, dy
+
+
+def _png_unfilter(raw, off, h, stride, nch):
+    """Reverse the five PNG scanline filters over one (sub)image of ``h``
+    rows x ``stride`` bytes starting at byte ``off`` of the inflated
+    stream; returns (rows ndarray, next offset)."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        off = y * (stride + 1)
         f = raw[off]
         cur = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int64)
+        off += stride + 1
         if f == 0:
             pass
         elif f == 1:                        # Sub: left neighbor
@@ -171,7 +143,81 @@ def _decode_png(buf: bytes):
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return h, w, out.reshape(h, w, nch)
+    return out, off
+
+
+def _decode_png(buf: bytes):
+    """8-bit PNG in pure numpy + stdlib zlib: chunk walk (IHDR geometry,
+    PLTE palette, IDAT concatenation), one zlib inflate, per-scanline
+    reversal of the five PNG filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth), Adam7 deinterlacing (each pass is an independently-filtered
+    sub-image), palette lookup for color type 3, and grayscale
+    replication to RGB for types 0/4. Supported color types: 0 gray,
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA — all at bit depth 8 (other
+    depths raise; tRNS transparency for paletted images is treated as
+    opaque, documented)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG decode: missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or nch is None:
+        raise NotImplementedError(
+            f"only 8-bit PNG supported (depth={depth} color_type={color})")
+    if color == 3 and plte is None:
+        raise ValueError("PNG decode: paletted image without PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    if interlace == 0:
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        rows, _ = _png_unfilter(raw, 0, h, stride, nch)
+        img = rows.reshape(h, w, nch)
+    elif interlace == 1:                    # Adam7
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+        if len(raw) != sum(ph * (pw * nch + 1)
+                           for *_xy, pw, ph in passes):
+            raise ValueError("PNG interlaced data size mismatch")
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            rows, off = _png_unfilter(raw, off, ph, pw * nch, nch)
+            img[y0::dy, x0::dx] = rows.reshape(ph, pw, nch)
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color == 3:                          # palette -> RGB
+        idx = img.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        img = plte[idx]
+    elif color == 0:                        # gray -> replicated RGB
+        img = np.repeat(img, 3, axis=2)
+    elif color == 4:                        # gray+alpha -> RGBA
+        g, a = img[..., 0:1], img[..., 1:2]
+        img = np.concatenate([g, g, g, a], axis=2)
+    return h, w, img
 
 
 def _lzw_decode(data: bytes, mcs: int, expected: int):

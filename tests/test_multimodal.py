@@ -202,20 +202,23 @@ def test_png_decode_rgba_and_spark_path(spark):
 
 
 def test_png_decode_rejects_out_of_scope():
-    """Interlaced / 16-bit / paletted PNGs raise NotImplementedError (honest
-    scope), corrupt PNGs raise ValueError."""
+    """16-bit PNGs raise NotImplementedError (honest scope); corrupt or
+    layout-inconsistent PNGs raise ValueError."""
     import struct
 
     import numpy as np
     from pysemanticcomplexity_spark.operators.multimodal import _decode_png
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     good = _png_bytes(px)
-    # flip the interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
+    # claiming Adam7 over non-interlaced scanline data is a size mismatch
     interlaced = bytearray(good)
     interlaced[8 + 8 + 12] = 1
-    # fix nothing else: decoder must check interlace before CRC use
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlaced data size"):
         _decode_png(bytes(interlaced))
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16                    # bit depth byte
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(bytes(deep))
     with pytest.raises(ValueError, match="IHDR"):
         _decode_png(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 0) + b"IEND" * 4)
 
@@ -1057,3 +1060,76 @@ def test_progressive_jpeg_sparse_long_eob_runs():
     base = _decode_jpeg(_jpeg_bytes(px, quant=q))[2]
     got = _decode_jpeg(_jpeg_bytes_progressive(px, quant=q, ac_al=2))[2]
     assert (got == base).all()
+
+
+def _png_adam7_bytes(px):
+    """Adam7-interlaced encoder for tests: each pass is an independently
+    zero-filtered sub-image, concatenated in pass order."""
+    import binascii
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _ADAM7
+    h, w, nch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\0" + row.reshape(-1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlace_roundtrip():
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_png
+    rng = np.random.RandomState(31)
+    for h, w in [(1, 1), (3, 5), (8, 8), (13, 21), (16, 9)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        gh, gw, got = _decode_png(_png_adam7_bytes(px))
+        assert (gh, gw) == (h, w)
+        assert (got == px).all(), (h, w)
+
+
+def test_png_palette_and_gray_types():
+    import binascii
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+    rng = np.random.RandomState(32)
+    # color type 3: palette
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (4, 6), dtype=np.uint8)
+    raw = b"".join(b"\0" + row.tobytes() for row in idx)
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0)
+    buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    h, w, got = _decode_png(buf)
+    assert (h, w) == (4, 6) and (got == pal[idx]).all()
+    # color type 0: grayscale replicates to RGB
+    g = rng.randint(0, 256, (3, 7, 1), dtype=np.uint8)
+    h, w, got = _decode_png(_png_bytes(g, color_type=0))
+    assert got.shape == (3, 7, 3) and (got == np.repeat(g, 3, 2)).all()
+    # color type 4: gray+alpha -> RGBA
+    ga = rng.randint(0, 256, (5, 4, 2), dtype=np.uint8)
+    h, w, got = _decode_png(_png_bytes(ga, color_type=4))
+    assert got.shape == (5, 4, 4)
+    assert (got[..., 0] == ga[..., 0]).all() and (got[..., 3] == ga[..., 1]).all()
