@@ -20,7 +20,8 @@
   ``fake=True``, which derives a
   deterministic fake geometry/feature vector from the byte content (so the
   distributed path, schema, and batching stay exercised for every format);
-* ``frame_sample``     — video frame-sampling contract (stubbed the same way).
+* ``frame_sample``     — frame sampling: REAL for animated GIF (every
+  image block decoded + crc32-hashed); true video codecs stay stubbed.
 """
 from __future__ import annotations
 
@@ -272,13 +273,13 @@ def _lzw_decode(data: bytes, mcs: int, expected: int):
     return out[:expected]
 
 
-def _decode_gif(buf: bytes):
-    """GIF87a/89a FIRST image frame in pure Python + numpy: logical screen
-    descriptor, global/local color table, extension-block skip, LZW
-    decompression (``_lzw_decode``), interlace reordering, palette lookup
-    -> (h, w, RGB). Honest scope: first frame only, transparency treated
-    as opaque palette color (channels reported as 3); animation/looping is
-    a video concern, not a raster decode."""
+def _gif_frames(buf: bytes):
+    """Yield (h, w, RGB) for every image block of a GIF87a/89a stream:
+    logical screen descriptor, global/local color tables, extension-block
+    skip, LZW decompression (``_lzw_decode``), interlace reordering,
+    palette lookup. Honest scope: every frame must cover the full logical
+    screen (compositing sub-rectangle frames needs the disposal model);
+    transparency is treated as opaque palette color."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
 
@@ -291,52 +292,58 @@ def _decode_gif(buf: bytes):
         n = 2 << (packed & 7)
         gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
-    while True:
+    while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:                       # extension: label + sub-blocks
             pos += 2
             while buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1
-        elif b0 == 0x2C:                     # image descriptor
-            break
-        else:
+            continue
+        if b0 == 0x3B:                       # trailer
+            return
+        if b0 != 0x2C:
             raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
-    left, top = le16(pos + 1), le16(pos + 3)
-    ih, iw = le16(pos + 7), le16(pos + 5)
-    if left or top or iw != le16(6) or ih != le16(8):
-        # compositing a sub-rectangle first frame onto the logical screen
-        # needs the background color/disposal model — out of scope, and
-        # silently reporting the sub-rectangle's geometry would be wrong
-        raise NotImplementedError(
-            "GIF first frame does not cover the logical screen")
-    ipacked = buf[pos + 9]
-    pos += 10
-    table, interlaced = gct, (ipacked >> 6) & 1
-    if ipacked >> 7:                         # local color table wins
-        n = 2 << (ipacked & 7)
-        table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
-        pos += n * 3
-    if table is None:
-        raise ValueError("GIF: no color table")
-    mcs = buf[pos]
-    pos += 1
-    data = bytearray()
-    while buf[pos] != 0:
-        n = buf[pos]
-        data += buf[pos + 1:pos + 1 + n]
-        pos += 1 + n
-    idx = np.array(_lzw_decode(bytes(data), mcs, iw * ih), np.int64)
-    if (idx >= len(table)).any():
-        raise ValueError("GIF: palette index out of range")
-    arr = idx.reshape(ih, iw)
-    if interlaced:                           # stored row k -> display row
-        order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
-                 + list(range(2, ih, 4)) + list(range(1, ih, 2)))
-        out = np.empty_like(arr)
-        out[order] = arr
-        arr = out
-    return ih, iw, table[arr]
+        left, top = le16(pos + 1), le16(pos + 3)
+        ih, iw = le16(pos + 7), le16(pos + 5)
+        if left or top or iw != le16(6) or ih != le16(8):
+            raise NotImplementedError(
+                "GIF frame does not cover the logical screen")
+        ipacked = buf[pos + 9]
+        pos += 10
+        table, interlaced = gct, (ipacked >> 6) & 1
+        if ipacked >> 7:                     # local color table wins
+            n = 2 << (ipacked & 7)
+            table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF: no color table")
+        mcs = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos] != 0:
+            n = buf[pos]
+            data += buf[pos + 1:pos + 1 + n]
+            pos += 1 + n
+        pos += 1                             # sub-block terminator
+        idx = np.array(_lzw_decode(bytes(data), mcs, iw * ih), np.int64)
+        if (idx >= len(table)).any():
+            raise ValueError("GIF: palette index out of range")
+        arr = idx.reshape(ih, iw)
+        if interlaced:                       # stored row k -> display row
+            order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                     + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+            out = np.empty_like(arr)
+            out[order] = arr
+            arr = out
+        yield ih, iw, table[arr]
+
+
+def _decode_gif(buf: bytes):
+    """First frame of :func:`_gif_frames` (the raster-decode contract)."""
+    for frame in _gif_frames(buf):
+        return frame
+    raise ValueError("GIF: no image data")
 
 
 class _BitReaderMSB:
@@ -799,16 +806,38 @@ FRAME_SCHEMA = T.StructType([
 
 def frame_sample(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                  every_n: int = 10, fake: bool = False) -> DataFrame:
-    """Video frame-sampling contract: 1 row per sampled frame."""
+    """Frame sampling: 1 row per sampled frame (id, frame_idx, frame_hash).
+
+    ANIMATED GIF payloads decode for REAL: every ``every_n``-th image
+    block's pixels are decoded (``_gif_frames``) and hashed (crc32 of the
+    RGB bytes — deterministic, order-stable). True video codecs are
+    unavailable in this environment: other payloads raise, or with
+    ``fake=True`` get the deterministic byte-derived fake frames (the
+    distributed path, schema, and batching stay exercised)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode unavailable; run with fake=True")
             out = {"id": [], "frame_idx": [], "frame_hash": []}
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 buf = bytes(payload or b"")
+                if buf[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        for f, (_h, _w, px) in enumerate(_gif_frames(buf)):
+                            if f % every_n:
+                                continue
+                            out["id"].append(int(i))
+                            out["frame_idx"].append(f)
+                            out["frame_hash"].append(
+                                zlib.crc32(np.ascontiguousarray(px)
+                                           .tobytes()))
+                        continue
+                    except (ValueError, NotImplementedError, IndexError):
+                        if not fake:
+                            raise
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode unavailable (animated GIF is decoded "
+                        "for real); run with fake=True for other formats")
                 n_frames = max(len(buf) // 64, 1)
                 for f in range(0, n_frames, every_n):
                     chunk = buf[f * 64:(f + 1) * 64]

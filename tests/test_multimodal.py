@@ -1133,3 +1133,57 @@ def test_png_palette_and_gray_types():
     h, w, got = _decode_png(_png_bytes(ga, color_type=4))
     assert got.shape == (5, 4, 4)
     assert (got[..., 0] == ga[..., 0]).all() and (got[..., 3] == ga[..., 1]).all()
+
+
+def _gif_animated_bytes(frames, palette):
+    """Multi-frame GIF89a: each frame a full-screen image block (optionally
+    preceded by a graphic-control extension, as real encoders emit)."""
+    import numpy as np
+    h, w = frames[0].shape
+    n = max(4, 1 << int(np.ceil(np.log2(len(palette)))))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:len(palette)] = palette
+    size_bits = int(np.log2(n)) - 1
+    mcs = max(2, int(np.log2(n)))
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | size_bits, 0, 0]) + pal.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"   # loop ext
+    for idx in frames:
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"          # GCE, 4cs delay
+        out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") \
+            + h.to_bytes(2, "little") + bytes([0])
+        data = _lzw_encode([int(x) for x in idx.reshape(-1)], mcs)
+        out += bytes([mcs])
+        for off in range(0, len(data), 255):
+            block = data[off:off + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_frame_sample_real_animated_gif(spark):
+    import zlib as _zlib
+
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import (
+        _gif_frames, frame_sample)
+    rng = np.random.RandomState(41)
+    palette = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 8, (6, 5)) for _ in range(7)]
+    buf = _gif_animated_bytes(frames, palette)
+    # the frame iterator recovers every frame's exact pixels
+    decoded = list(_gif_frames(buf))
+    assert len(decoded) == 7
+    for f, (h, w, px) in enumerate(decoded):
+        assert (h, w) == (6, 5)
+        assert (px == palette[frames[f]]).all(), f
+    # sampling every 3rd frame through the Spark path, real hashes
+    df = spark.createDataFrame([(9, bytearray(buf))],
+                               "id long, payload binary")
+    rows = frame_sample(df, every_n=3).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+    want = [_zlib.crc32(np.ascontiguousarray(palette[frames[f]]).tobytes())
+            for f in (0, 3, 6)]
+    assert [r["frame_hash"] for r in rows] == want
