@@ -185,7 +185,6 @@ def _decode_png(buf: bytes):
     if color == 3 and plte is None:
         raise ValueError("PNG decode: paletted image without PLTE")
     raw = zlib.decompress(b"".join(idat))
-    img = np.zeros((h, w, nch), dtype=np.uint8)
     if interlace == 0:
         stride = w * nch
         if len(raw) != h * (stride + 1):
@@ -202,6 +201,7 @@ def _decode_png(buf: bytes):
         if len(raw) != sum(ph * (pw * nch + 1)
                            for *_xy, pw, ph in passes):
             raise ValueError("PNG interlaced data size mismatch")
+        img = np.zeros((h, w, nch), dtype=np.uint8)   # pass assembly target
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
             rows, off = _png_unfilter(raw, off, ph, pw * nch, nch)
@@ -273,13 +273,10 @@ def _lzw_decode(data: bytes, mcs: int, expected: int):
     return out[:expected]
 
 
-def _gif_frames(buf: bytes):
-    """Yield (h, w, RGB) for every image block of a GIF87a/89a stream:
-    logical screen descriptor, global/local color tables, extension-block
-    skip, LZW decompression (``_lzw_decode``), interlace reordering,
-    palette lookup. Honest scope: every frame must cover the full logical
-    screen (compositing sub-rectangle frames needs the disposal model);
-    transparency is treated as opaque palette color."""
+def _gif_image_blocks(buf: bytes):
+    """Walk a GIF87a/89a stream and yield one lazily-decodable thunk per
+    image block — unsampled frames cost only the block walk (color-table
+    and data-sub-block skipping), never the LZW decode."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
 
@@ -326,17 +323,32 @@ def _gif_frames(buf: bytes):
             data += buf[pos + 1:pos + 1 + n]
             pos += 1 + n
         pos += 1                             # sub-block terminator
-        idx = np.array(_lzw_decode(bytes(data), mcs, iw * ih), np.int64)
-        if (idx >= len(table)).any():
-            raise ValueError("GIF: palette index out of range")
-        arr = idx.reshape(ih, iw)
-        if interlaced:                       # stored row k -> display row
-            order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
-                     + list(range(2, ih, 4)) + list(range(1, ih, 2)))
-            out = np.empty_like(arr)
-            out[order] = arr
-            arr = out
-        yield ih, iw, table[arr]
+
+        def decode(ih=ih, iw=iw, table=table, interlaced=interlaced,
+                   mcs=mcs, data=bytes(data)):
+            idx = np.array(_lzw_decode(data, mcs, iw * ih), np.int64)
+            if (idx >= len(table)).any():
+                raise ValueError("GIF: palette index out of range")
+            arr = idx.reshape(ih, iw)
+            if interlaced:                   # stored row k -> display row
+                order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                         + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
+            return ih, iw, table[arr]
+        yield decode
+
+
+def _gif_frames(buf: bytes):
+    """Yield (h, w, RGB) for every image block of a GIF87a/89a stream:
+    logical screen descriptor, global/local color tables, extension-block
+    skip, LZW decompression (``_lzw_decode``), interlace reordering,
+    palette lookup. Honest scope: every frame must cover the full logical
+    screen (compositing sub-rectangle frames needs the disposal model);
+    transparency is treated as opaque palette color."""
+    for decode in _gif_image_blocks(buf):
+        yield decode()
 
 
 def _decode_gif(buf: bytes):
@@ -764,7 +776,8 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                         h, w, px = _decode_gif(buf)
                     elif buf[:2] == b"\xff\xd8":
                         h, w, px = _decode_jpeg(buf)
-                except (ValueError, NotImplementedError, IndexError):
+                except (ValueError, NotImplementedError,
+                        IndexError, zlib.error):
                     if not fake:    # fake=True: corrupt/out-of-scope payloads
                         raise       # fall through to the plumbing fake
                     px = None
@@ -822,16 +835,26 @@ def frame_sample(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                 buf = bytes(payload or b"")
                 if buf[:6] in (b"GIF87a", b"GIF89a"):
                     try:
-                        for f, (_h, _w, px) in enumerate(_gif_frames(buf)):
+                        rows = []        # commit only after a full decode:
+                        # a mid-stream failure must not leave partial real
+                        # rows next to the fake fallback's rows
+                        for f, dec in enumerate(_gif_image_blocks(buf)):
                             if f % every_n:
-                                continue
-                            out["id"].append(int(i))
+                                continue # unsampled: block walk only
+                            _h, _w, px = dec()
+                            rows.append(
+                                (int(i), f,
+                                 zlib.crc32(np.ascontiguousarray(px)
+                                            .tobytes())))
+                        if not rows:
+                            raise ValueError("GIF: no image data")
+                        for rid, f, fh in rows:
+                            out["id"].append(rid)
                             out["frame_idx"].append(f)
-                            out["frame_hash"].append(
-                                zlib.crc32(np.ascontiguousarray(px)
-                                           .tobytes()))
+                            out["frame_hash"].append(fh)
                         continue
-                    except (ValueError, NotImplementedError, IndexError):
+                    except (ValueError, NotImplementedError, IndexError,
+                            zlib.error):
                         if not fake:
                             raise
                 if not fake:

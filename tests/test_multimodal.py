@@ -124,20 +124,23 @@ def test_corrupt_jpeg_raises_and_fake_covers(spark):
     assert decode_images(df, fake=True).count() == 1
 
 
+def _png_chunk(typ, data):
+    import binascii
+    import struct
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+
 def _png_bytes(px, filters=(0,), color_type=2):
     """Minimal PNG encoder for test goldens: 8-bit, non-interlaced, one
     IDAT; applies the requested scanline filter per row (cycled) so the
     decoder's filter reversal is exercised against ground-truth pixels."""
-    import binascii
     import struct
     import zlib as _zlib
 
     import numpy as np
     h, w, nch = px.shape
-
-    def chunk(typ, data):
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+    chunk = _png_chunk
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b""
@@ -1065,7 +1068,6 @@ def test_progressive_jpeg_sparse_long_eob_runs():
 def _png_adam7_bytes(px):
     """Adam7-interlaced encoder for tests: each pass is an independently
     zero-filtered sub-image, concatenated in pass order."""
-    import binascii
     import struct
     import zlib as _zlib
 
@@ -1073,10 +1075,7 @@ def _png_adam7_bytes(px):
     from pysemanticcomplexity_spark.operators.multimodal import _ADAM7
     h, w, nch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-
-    def chunk(typ, data):
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+    chunk = _png_chunk
 
     raw = b""
     for x0, y0, dx, dy in _ADAM7:
@@ -1102,16 +1101,12 @@ def test_png_adam7_interlace_roundtrip():
 
 
 def test_png_palette_and_gray_types():
-    import binascii
     import struct
     import zlib as _zlib
 
     import numpy as np
     from pysemanticcomplexity_spark.operators.multimodal import _decode_png
-
-    def chunk(typ, data):
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+    chunk = _png_chunk
 
     rng = np.random.RandomState(32)
     # color type 3: palette
@@ -1187,3 +1182,38 @@ def test_frame_sample_real_animated_gif(spark):
     want = [_zlib.crc32(np.ascontiguousarray(palette[frames[f]]).tobytes())
             for f in (0, 3, 6)]
     assert [r["frame_hash"] for r in rows] == want
+
+
+def test_frame_sample_partial_and_headless_gifs(spark):
+    """A GIF with no image block or truncated mid-frame must never emit
+    partial real rows: fake=False raises, fake=True yields ONLY fake rows."""
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import frame_sample
+    palette = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frames = [np.zeros((4, 4), int), np.ones((4, 4), int)]
+    good = _gif_animated_bytes(frames, palette)
+    headless = good[:13 + 4 * 3] + b"\x3b"       # header+GCT, no image
+    truncated = good[:len(good) - 12]            # cut inside the last frame
+    for bad in (headless, truncated):
+        df = spark.createDataFrame([(1, bytearray(bad))],
+                                   "id long, payload binary")
+        with pytest.raises(Exception):
+            frame_sample(df, every_n=1).collect()
+        rows = frame_sample(df, every_n=1, fake=True).collect()
+        # fake rows only — no duplicated (id, frame_idx) pairs
+        keys = [(r["id"], r["frame_idx"]) for r in rows]
+        assert len(keys) == len(set(keys)) and len(rows) > 0
+
+
+def test_decode_images_corrupt_idat_falls_to_fake(spark):
+    from pysemanticcomplexity_spark.operators.multimodal import decode_images
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", (2).to_bytes(4, "big")
+                        + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0]))
+           + _png_chunk(b"IDAT", b"not-deflate-data")
+           + _png_chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, bytearray(buf))],
+                               "id long, payload binary")
+    with pytest.raises(Exception):
+        decode_images(df).collect()
+    assert decode_images(df, fake=True).count() == 1
