@@ -65,19 +65,34 @@ IMAGE_SCHEMA = T.StructType([
 ])
 
 
-_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
-
-
 def _decode_ppm(buf: bytes):
     """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + one whitespace
-    byte + h*w*3 raw RGB bytes (comments unsupported; raises on mismatch)."""
-    m = _PPM_HEADER.match(buf)
-    if not m:
+    byte + h*w*3 raw RGB bytes. Header comments ('#' to end of line, legal
+    anywhere between tokens per the netpbm spec) are skipped."""
+    if buf[:2] != b"P6":
         raise ValueError("not a binary PPM (P6) header")
-    w, h, maxval = (int(x) for x in m.groups())
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(buf):
+        c = buf[pos]
+        if c == 0x23:                        # '#': comment to end of line
+            while pos < len(buf) and buf[pos] not in (0x0A, 0x0D):
+                pos += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            pos += 1
+        elif 0x30 <= c <= 0x39:
+            start = pos
+            while pos < len(buf) and 0x30 <= buf[pos] <= 0x39:
+                pos += 1
+            tokens.append(int(buf[start:pos]))
+        else:
+            raise ValueError("not a binary PPM (P6) header")
+    if len(tokens) < 3:
+        raise ValueError("PPM header truncated")
+    w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
-    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    pos += 1                                 # single whitespace after maxval
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
     return h, w, px.reshape(h, w, 3)
 
 
@@ -153,10 +168,11 @@ def _decode_png(buf: bytes):
     reversal of the five PNG filters (0 None, 1 Sub, 2 Up, 3 Average,
     4 Paeth), Adam7 deinterlacing (each pass is an independently-filtered
     sub-image), palette lookup for color type 3, and grayscale
-    replication to RGB for types 0/4. Supported color types: 0 gray,
-    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA — all at bit depth 8 (other
-    depths raise; tRNS transparency for paletted images is treated as
-    opaque, documented)."""
+    replication to RGB for types 0/4. Supported: color types 0 gray,
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA at bit depth 8, plus 1/2/4-bit
+    gray and palette (MSB-first packed pixels, gray scaled to 8-bit).
+    16-bit depth raises; tRNS transparency for paletted images is treated
+    as opaque, documented."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, ihdr, idat, plte = 8, None, [], None
@@ -179,18 +195,37 @@ def _decode_png(buf: bytes):
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or nch is None:
+    if nch is None or not (depth == 8
+                           or (depth in (1, 2, 4) and color in (0, 3))):
         raise NotImplementedError(
-            f"only 8-bit PNG supported (depth={depth} color_type={color})")
+            f"only 8-bit PNG (or 1/2/4-bit gray/palette) supported "
+            f"(depth={depth} color_type={color})")
     if color == 3 and plte is None:
         raise ValueError("PNG decode: paletted image without PLTE")
     raw = zlib.decompress(b"".join(idat))
+
+    def row_bytes(pixels):
+        return (pixels * nch * depth + 7) // 8
+
+    def unpack(rows, pixels):
+        """Filtered bytes -> per-pixel channel values (sub-byte depths are
+        MSB-first packed, single-channel by spec)."""
+        if depth == 8:
+            return rows.reshape(rows.shape[0], pixels, nch)
+        per = 8 // depth
+        out = np.zeros((rows.shape[0], rows.shape[1] * per), np.uint8)
+        for j, sh in enumerate(range(8 - depth, -1, -depth)):
+            out[:, j::per] = (rows >> sh) & ((1 << depth) - 1)
+        return out[:, :pixels].reshape(rows.shape[0], pixels, 1)
+
+    # filters step over bytes; for sub-byte depths bpp is one byte
+    step = max(1, nch * depth // 8)
     if interlace == 0:
-        stride = w * nch
+        stride = row_bytes(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG scanline data size mismatch")
-        rows, _ = _png_unfilter(raw, 0, h, stride, nch)
-        img = rows.reshape(h, w, nch)
+        rows, _ = _png_unfilter(raw, 0, h, stride, step)
+        img = unpack(rows, w)
     elif interlace == 1:                    # Adam7
         passes = []
         for x0, y0, dx, dy in _ADAM7:
@@ -198,16 +233,19 @@ def _decode_png(buf: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
                 passes.append((x0, y0, dx, dy, pw, ph))
-        if len(raw) != sum(ph * (pw * nch + 1)
+        if len(raw) != sum(ph * (row_bytes(pw) + 1)
                            for *_xy, pw, ph in passes):
             raise ValueError("PNG interlaced data size mismatch")
         img = np.zeros((h, w, nch), dtype=np.uint8)   # pass assembly target
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            rows, off = _png_unfilter(raw, off, ph, pw * nch, nch)
-            img[y0::dy, x0::dx] = rows.reshape(ph, pw, nch)
+            rows, off = _png_unfilter(raw, off, ph, row_bytes(pw), step)
+            img[y0::dy, x0::dx] = unpack(rows, pw)
     else:
         raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth < 8 and color == 0:            # scale gray to 8-bit
+        img = (img.astype(np.int64) * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)
     if color == 3:                          # palette -> RGB
         idx = img.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):

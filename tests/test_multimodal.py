@@ -1217,3 +1217,74 @@ def test_decode_images_corrupt_idat_falls_to_fake(spark):
     with pytest.raises(Exception):
         decode_images(df).collect()
     assert decode_images(df, fake=True).count() == 1
+
+
+def test_ppm_header_comments(spark):
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_ppm
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3) * 7
+    ppm = (b"P6 # netpbm comment\n# another\n 3 # width done\n2\n"
+           b"# before maxval\n255\n" + px.tobytes())
+    h, w, got = _decode_ppm(ppm)
+    assert (h, w) == (2, 3) and (got == px).all()
+
+
+def _png_lowdepth_bytes(vals, depth, color_type, palette=None,
+                        interlace=False):
+    """1/2/4-bit PNG encoder (MSB-first packed rows, zero filter)."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _ADAM7
+    h, w = vals.shape
+    per = 8 // depth
+
+    def pack_rows(sub):
+        raw = b""
+        for row in sub:
+            padded = np.zeros(((len(row) + per - 1) // per) * per, np.uint8)
+            padded[:len(row)] = row
+            byts = np.zeros(len(padded) // per, np.uint8)
+            for j, sh in enumerate(range(8 - depth, -1, -depth)):
+                byts |= (padded[j::per] << sh).astype(np.uint8)
+            raw += b"\0" + byts.tobytes()
+        return raw
+
+    if interlace:
+        raw = b"".join(pack_rows(vals[y0::dy, x0::dx])
+                       for x0, y0, dx, dy in _ADAM7
+                       if vals[y0::dy, x0::dx].size)
+    else:
+        raw = pack_rows(vals)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.tobytes())
+    return out + _png_chunk(b"IDAT", _zlib.compress(raw)) \
+        + _png_chunk(b"IEND", b"")
+
+
+def test_png_low_bit_depths():
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_png
+    rng = np.random.RandomState(51)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        vals = rng.randint(0, mx + 1, (5, 11)).astype(np.uint8)
+        # grayscale: values scale to 8-bit
+        h, w, got = _decode_png(_png_lowdepth_bytes(vals, depth, 0))
+        scale = 255 // mx
+        want = np.repeat((vals * scale)[..., None], 3, axis=2)
+        assert (h, w) == (5, 11) and (got == want).all(), depth
+        # palette
+        pal = rng.randint(0, 256, (mx + 1, 3)).astype(np.uint8)
+        h, w, got = _decode_png(
+            _png_lowdepth_bytes(vals, depth, 3, palette=pal))
+        assert (got == pal[vals]).all(), depth
+        # Adam7 at sub-byte depth: per-pass packing
+        h, w, got = _decode_png(
+            _png_lowdepth_bytes(vals, depth, 3, palette=pal,
+                                interlace=True))
+        assert (got == pal[vals]).all(), ("adam7", depth)
