@@ -89,9 +89,11 @@ def _decode_ppm(buf: bytes):
     if len(tokens) < 3:
         raise ValueError("PPM header truncated")
     w, h, maxval = tokens
-    if maxval > 255:
-        raise ValueError("16-bit PPM unsupported")
     pos += 1                                 # single whitespace after maxval
+    if maxval > 255:                         # 2-byte BE samples -> high byte
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3 * 2,
+                           offset=pos).reshape(h, w, 3, 2)[..., 0]
+        return h, w, px
     px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
     return h, w, px.reshape(h, w, 3)
 
@@ -169,10 +171,11 @@ def _decode_png(buf: bytes):
     4 Paeth), Adam7 deinterlacing (each pass is an independently-filtered
     sub-image), palette lookup for color type 3, and grayscale
     replication to RGB for types 0/4. Supported: color types 0 gray,
-    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA at bit depth 8, plus 1/2/4-bit
-    gray and palette (MSB-first packed pixels, gray scaled to 8-bit).
-    16-bit depth raises; tRNS transparency for paletted images is treated
-    as opaque, documented."""
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA at bit depths 8 and 16
+    (16-bit samples reduce to their high byte — the standard 8-bit
+    conversion), plus 1/2/4-bit gray and palette (MSB-first packed
+    pixels, gray scaled to 8-bit). tRNS transparency for paletted images
+    is treated as opaque, documented."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, ihdr, idat, plte = 8, None, [], None
@@ -195,11 +198,13 @@ def _decode_png(buf: bytes):
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if nch is None or not (depth == 8
+    if nch is None or not (depth in (8, 16)
                            or (depth in (1, 2, 4) and color in (0, 3))):
         raise NotImplementedError(
-            f"only 8-bit PNG (or 1/2/4-bit gray/palette) supported "
-            f"(depth={depth} color_type={color})")
+            f"unsupported PNG depth/color (depth={depth} "
+            f"color_type={color})")
+    if depth == 16 and color == 3:
+        raise ValueError("PNG: 16-bit palette indices are not legal")
     if color == 3 and plte is None:
         raise ValueError("PNG decode: paletted image without PLTE")
     raw = zlib.decompress(b"".join(idat))
@@ -212,6 +217,8 @@ def _decode_png(buf: bytes):
         MSB-first packed, single-channel by spec)."""
         if depth == 8:
             return rows.reshape(rows.shape[0], pixels, nch)
+        if depth == 16:                     # BE samples -> high byte
+            return rows.reshape(rows.shape[0], pixels, nch, 2)[..., 0]
         per = 8 // depth
         out = np.zeros((rows.shape[0], rows.shape[1] * per), np.uint8)
         for j, sh in enumerate(range(8 - depth, -1, -depth)):

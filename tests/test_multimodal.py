@@ -205,7 +205,7 @@ def test_png_decode_rgba_and_spark_path(spark):
 
 
 def test_png_decode_rejects_out_of_scope():
-    """16-bit PNGs raise NotImplementedError (honest scope); corrupt or
+    """Invalid depths raise NotImplementedError; corrupt or
     layout-inconsistent PNGs raise ValueError."""
     import struct
 
@@ -219,9 +219,13 @@ def test_png_decode_rejects_out_of_scope():
     with pytest.raises(ValueError, match="interlaced data size"):
         _decode_png(bytes(interlaced))
     deep = bytearray(good)
-    deep[8 + 8 + 8] = 16                    # bit depth byte
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    deep[8 + 8 + 8] = 16                    # 16-bit claim over 8-bit data
+    with pytest.raises(ValueError, match="size mismatch"):
         _decode_png(bytes(deep))
+    weird = bytearray(good)
+    weird[8 + 8 + 8] = 3                    # depth 3 is not a PNG depth
+    with pytest.raises(NotImplementedError, match="depth"):
+        _decode_png(bytes(weird))
     with pytest.raises(ValueError, match="IHDR"):
         _decode_png(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 0) + b"IEND" * 4)
 
@@ -1288,3 +1292,28 @@ def test_png_low_bit_depths():
             _png_lowdepth_bytes(vals, depth, 3, palette=pal,
                                 interlace=True))
         assert (got == pal[vals]).all(), ("adam7", depth)
+
+
+def test_png_and_ppm_16bit_reduce_to_high_byte():
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import (
+        _decode_png, _decode_ppm)
+    rng = np.random.RandomState(61)
+    hi = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    lo = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    be = np.stack([hi, lo], axis=-1).reshape(3, 4, 6)    # 16-bit BE samples
+    # PPM with maxval 65535
+    ppm = b"P6 4 3 65535\n" + be.tobytes()
+    h, w, got = _decode_ppm(ppm)
+    assert (h, w) == (3, 4) and (got == hi).all()
+    # PNG depth 16, RGB, zero filter rows
+    raw = b"".join(b"\0" + be[y].tobytes() for y in range(3))
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    buf = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    h, w, got = _decode_png(buf)
+    assert (h, w) == (3, 4) and (got == hi).all()
