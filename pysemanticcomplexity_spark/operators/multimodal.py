@@ -3,8 +3,8 @@
 * ``binary_metadata``  — pure-JVM sniffing: payload size + magic-byte format
   detection (works on real bytes);
 * ``decode_images``    — mapInPandas kernel with the (binary -> height,
-  width, channels, features) contract. Binary PPM ``P6``, 24-bit
-  uncompressed BMP, 8-bit PNG (gray / RGB / palette / gray+alpha / RGBA,
+  width, channels, features) contract. Binary PPM ``P6`` (8/16-bit,
+  comment-aware), uncompressed 8/24/32-bit BMP, 8-bit PNG (gray / RGB / palette / gray+alpha / RGBA,
   non-interlaced AND Adam7), AND GIF87a/89a (first frame, incl. interlace
   and local color tables) are decoded FOR REAL in pure Python/numpy
   (+ stdlib zlib for PNG; the GIF LZW decompressor is implemented here):
@@ -99,25 +99,40 @@ def _decode_ppm(buf: bytes):
 
 
 def _decode_bmp(buf: bytes):
-    """24-bit uncompressed BMP: BITMAPINFOHEADER geometry, 4-byte row
-    padding, bottom-up row order (top-down when height < 0), BGR -> RGB."""
+    """Uncompressed BMP at 8 (paletted), 24, and 32 (BGRX) bits per pixel:
+    BITMAPINFOHEADER geometry, 4-byte row padding, bottom-up row order
+    (top-down when height < 0), BGR(X) -> RGB, BGRA color table lookup
+    for the paletted form. RLE and BITFIELDS compression raise."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP")
     data_off = int.from_bytes(buf[10:14], "little")
+    hdr_size = int.from_bytes(buf[14:18], "little")
     w = int.from_bytes(buf[18:22], "little", signed=True)
     h = int.from_bytes(buf[22:26], "little", signed=True)
     bpp = int.from_bytes(buf[28:30], "little")
     compression = int.from_bytes(buf[30:34], "little")
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only 24-bit uncompressed BMP")
+    if bpp not in (8, 24, 32) or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 8/24/32-bit BMP supported")
     top_down, h = h < 0, abs(h)
-    row_size = (w * 3 + 3) // 4 * 4
+    nbytes = bpp // 8
+    row_size = (w * nbytes + 3) // 4 * 4
     rows = np.frombuffer(buf, np.uint8, count=row_size * h,
                          offset=data_off).reshape(h, row_size)
-    px = rows[:, :w * 3].reshape(h, w, 3)
+    if bpp == 8:
+        used = int.from_bytes(buf[46:50], "little") or 256
+        pal = np.frombuffer(buf, np.uint8, count=used * 4,
+                            offset=14 + hdr_size).reshape(used, 4)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= used:
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx][..., 2::-1]            # BGRA entries -> RGB
+    else:
+        px = rows[:, :w * nbytes].reshape(h, w, nbytes)
+        px = px[..., 2::-1]                  # BGR(X) -> RGB, X dropped
     if not top_down:
         px = px[::-1]
-    return h, w, px[..., ::-1]          # BGR -> RGB
+    return h, w, np.ascontiguousarray(px)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1317,3 +1317,38 @@ def test_png_and_ppm_16bit_reduce_to_high_byte():
            + _png_chunk(b"IEND", b""))
     h, w, got = _decode_png(buf)
     assert (h, w) == (3, 4) and (got == hi).all()
+
+
+def test_bmp_paletted_and_32bit():
+    import struct
+
+    import numpy as np
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_bmp
+    rng = np.random.RandomState(71)
+
+    def headers(w, h, bpp, data_off, img_size, clr_used=0):
+        hdr = struct.pack("<2sIHHI", b"BM", data_off + img_size, 0, 0,
+                          data_off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, img_size,
+                           2835, 2835, clr_used, 0)
+        return hdr + info
+
+    # 8-bit paletted, bottom-up, padded rows (w=5 -> row 8 bytes)
+    pal = rng.randint(0, 256, (16, 4)).astype(np.uint8)
+    idx = rng.randint(0, 16, (3, 5)).astype(np.uint8)
+    row_size = 8
+    body = b"".join(idx[y].tobytes() + b"\0" * (row_size - 5)
+                    for y in range(2, -1, -1))
+    buf = headers(5, 3, 8, 14 + 40 + 64, len(body), 16) + pal.tobytes() + body
+    h, w, got = _decode_bmp(buf)
+    assert (h, w) == (3, 5)
+    assert (got == pal[idx][..., 2::-1]).all()
+    # 32-bit BGRX
+    px = rng.randint(0, 256, (2, 3, 3)).astype(np.uint8)
+    body = b"".join(
+        b"".join(bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0], 0])
+                 for x in range(3))
+        for y in range(1, -1, -1))
+    buf = headers(3, 2, 32, 14 + 40, len(body)) + body
+    h, w, got = _decode_bmp(buf)
+    assert (h, w) == (2, 3) and (got == px).all()
