@@ -107,6 +107,12 @@ def _decode_bmp(buf: bytes):
         raise ValueError("not a BMP")
     data_off = int.from_bytes(buf[10:14], "little")
     hdr_size = int.from_bytes(buf[14:18], "little")
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12) / OS2 variants lay out width/bpp at other
+        # offsets; reading the 40-byte-header fields below would misparse
+        # geometry silently, so fail loud and typed instead
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} < 40 (BITMAPCOREHEADER) unsupported")
     w = int.from_bytes(buf[18:22], "little", signed=True)
     h = int.from_bytes(buf[22:26], "little", signed=True)
     bpp = int.from_bytes(buf[28:30], "little")

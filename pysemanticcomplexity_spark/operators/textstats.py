@@ -222,7 +222,9 @@ def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # optional +CC prefix matched for real (a '+' after whitespace has no
+    # \b before it, so \b\+? never engaged — ADVICE r3); still RE2-safe
+    ("phone", r"(\+\d{1,2}[-. ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 

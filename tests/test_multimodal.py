@@ -1352,3 +1352,17 @@ def test_bmp_paletted_and_32bit():
     buf = headers(3, 2, 32, 14 + 40, len(body)) + body
     h, w, got = _decode_bmp(buf)
     assert (h, w) == (2, 3) and (got == px).all()
+
+
+def test_bmp_core_header_rejected_cleanly():
+    # BITMAPCOREHEADER (hdr_size=12) lays out width/bpp at different
+    # offsets; the decoder must fail typed, not misparse geometry (ADVICE r3)
+    import struct
+
+    import pytest as _pytest
+    from pysemanticcomplexity_spark.operators.multimodal import _decode_bmp
+    core = struct.pack("<IHHHH", 12, 3, 2, 1, 24)       # BITMAPCOREHEADER
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 12 + 24, 0, 0, 14 + 12)
+    buf = hdr + core + b"\0" * 24
+    with _pytest.raises(NotImplementedError, match="BITMAPCOREHEADER"):
+        _decode_bmp(buf)
