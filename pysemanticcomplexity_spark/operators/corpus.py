@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from .dedup import POLY_MOD, poly_hash_expr, shingles
 
 __all__ = ["contamination_flags", "contamination_flags_rowlocal",
-           "pack_sequences", "stratified_sample",
+           "pack_sequences", "pack_sequences_split", "stratified_sample",
            "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
 
 # fraction granularity for stratified_sample: fraction -> integer threshold
@@ -219,6 +219,44 @@ def pack_sequences(docs: DataFrame, capacity: int,
                         F.floor(F.col("tokens_before") / capacity)
                         .cast("long"))
             .drop("_bkt"))
+
+
+def pack_sequences_split(docs: DataFrame, capacity: int,
+                         id_col: str = "doc_id", token_col: str = "n_tokens",
+                         num_ranges: int = 64) -> DataFrame:
+    """The split-at-boundary packing policy trainers actually use: the
+    global token stream (documents in ``id_col`` order) is cut every
+    ``capacity`` tokens, and a document crossing a cut is SPLIT — each part
+    is emitted as its own row with the token range it contributes, so every
+    pack holds exactly ``capacity`` tokens (except the final pack).
+
+    Returns (id, n_tokens, part_idx, pack_id, tok_start, tok_len):
+    ``tok_start`` is the part's offset within the document's own tokens,
+    parts are contiguous (part k+1 starts where part k ended) and sum to
+    ``n_tokens``. Zero-token documents contribute no parts.
+
+    Scale shape: ``pack_sequences``'s two-phase bucketed prefix sum gives
+    ``tokens_before``; the split itself is a closed form over it —
+    first/last pack index from integer division, one ``explode(sequence)``
+    per document (rows out = parts, bounded by n_tokens/capacity + 1). No
+    additional shuffle beyond the prefix sum's bucket window.
+    """
+    base = pack_sequences(docs, capacity, id_col=id_col,
+                          token_col=token_col, num_ranges=num_ranges)
+    tb, n = F.col("tokens_before"), F.col("n_tokens")
+    first = F.floor(tb / capacity)
+    last = F.floor((tb + n - 1) / capacity)
+    parts = (base.filter(n > 0)
+             .withColumn("pack_id", F.explode(F.sequence(first, last))))
+    p = F.col("pack_id")
+    tok_start = F.greatest(p * capacity - tb, F.lit(0))
+    tok_end = F.least((p + 1) * capacity - tb, n)
+    return parts.select(
+        "id", "n_tokens",
+        (p - first).cast("long").alias("part_idx"),
+        p.cast("long").alias("pack_id"),
+        tok_start.cast("long").alias("tok_start"),
+        (tok_end - tok_start).cast("long").alias("tok_len"))
 
 
 def stratified_sample(docs: DataFrame, fractions: Dict[str, float],

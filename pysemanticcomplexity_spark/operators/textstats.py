@@ -11,7 +11,8 @@ from pyspark.sql import DataFrame, Window
 __all__ = ["token_count_expr", "language_id", "quality_score", "fingerprint",
            "winnow_fingerprints", "gopher_metric_exprs", "gopher_quality",
            "bpe_token_count", "pii_scrub", "repetition_stats",
-           "PII_PATTERNS"]
+           "model_quality_score", "PII_PATTERNS",
+           "MODEL_N_BUCKETS", "MODEL_W_A", "MODEL_W_B"]
 
 # tiny built-in stopword lists for the n-gram/stopword language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -321,3 +322,104 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                (F.col("_top.cnt") * gram_chars).cast("double")
                / F.col("total_chars"))
          .otherwise(0.0).cast("double").alias("top_2gram_frac"))
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (fastText-style linear classifier)
+# ---------------------------------------------------------------------------
+
+# hashed-feature model geometry shared with the SQL oracle: feature bucket =
+# poly(token) % MODEL_N_BUCKETS; integer weight of bucket b is
+# (MODEL_W_A * b + MODEL_W_B) % FINGERPRINT_MOD, centered to [-1, 1) only in
+# the final margin expression so every aggregate stays an exact int64 sum.
+MODEL_N_BUCKETS = 4096
+MODEL_W_A = 1_000_003
+MODEL_W_B = 998_244_353
+
+
+def model_weights_int():
+    """The dense int64 weight table (one row per hash bucket). Deterministic
+    seeded weights stand in for trained parameters so the scorer is
+    DuckDB-expressible; a real deployment loads a trained vector instead —
+    the execution shape (broadcast table + Arrow-batched gather) is the
+    production part."""
+    import numpy as np
+    idx = np.arange(MODEL_N_BUCKETS, dtype=np.int64)
+    return (MODEL_W_A * idx + MODEL_W_B) % FINGERPRINT_MOD
+
+
+def _poly_expr(col) -> F.Column:
+    return F.aggregate(F.split(col, ""), F.lit(0).cast("long"),
+                       lambda acc, ch: (acc * 31 + F.ascii(ch))
+                       % FINGERPRINT_MOD)
+
+
+def model_quality_score(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """fastText-shaped model quality scorer (Joulin et al. 2016; the CCNet /
+    LLaMA "quality model" filter stage): hashed unigram+bigram features, one
+    dense-weight gather + sum per document, logistic output.
+
+    Returns (id, n_feats, logit_sum, margin, prob, mq_pass) where
+    ``logit_sum`` is the exact integer sum of bucket weights,
+    ``margin = (logit_sum / n_feats) / MOD * 2 - 1`` in [-1, 1),
+    ``prob = sigmoid(4 * margin)`` and ``mq_pass`` compares integers only
+    (2*logit_sum > n_feats*MOD), so the keep decision is bit-exact across
+    engines even though prob involves exp().
+
+    Scale shape: tokenization and feature hashing stay JVM-side (nested
+    higher-order expressions, whole-stage codegen); the weight table is a
+    numpy array broadcast to every executor and applied in an Arrow-batched
+    pandas UDF as ONE vectorized gather+segmented-sum per batch (np.bincount
+    over the flattened bucket ids) — the execution shape of real model-based
+    scoring (dense parameters x sparse features), with no per-row Python
+    loop. No shuffle anywhere: the operator is a scan-side map, legal
+    mid-stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    weights = model_weights_int()
+    bc = docs.sparkSession.sparkContext.broadcast(weights)
+
+    @F.pandas_udf("long")
+    def gather_sum(buckets):
+        w = bc.value
+        flat = np.concatenate([np.asarray(b, dtype=np.int64)
+                               for b in buckets]) if len(buckets) else \
+            np.empty(0, dtype=np.int64)
+        lens = np.fromiter((len(b) for b in buckets), dtype=np.int64,
+                           count=len(buckets))
+        row_idx = np.repeat(np.arange(len(buckets)), lens)
+        # int64 weight values fit float64 exactly (< 2^30), and per-doc sums
+        # stay < 2^53, so the bincount accumulation is exact
+        sums = np.bincount(row_idx, weights=w[flat].astype(np.float64),
+                           minlength=len(buckets))
+        return pd.Series(sums.astype(np.int64))
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(TOKEN_PATTERN), F.lit(0))
+    n = F.size(toks)
+    uni = F.transform(toks, lambda t: _poly_expr(t) % MODEL_N_BUCKETS)
+    bi = (F.when(n >= 2,
+                 F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                            lambda a, b: _poly_expr(
+                                F.concat(a, F.lit(" "), b))
+                            % MODEL_N_BUCKETS))
+          .otherwise(F.array().cast("array<bigint>")))
+    feats = docs.select(F.col(id_col).alias("id"),
+                        F.concat(uni, bi).alias("_buckets"))
+    scored = feats.select(
+        "id", F.size("_buckets").cast("long").alias("n_feats"),
+        gather_sum("_buckets").alias("logit_sum"))
+    margin = (F.col("logit_sum").cast("double") / F.col("n_feats")
+              / F.lit(float(FINGERPRINT_MOD)) * 2.0 - 1.0)
+    prob = 1.0 / (1.0 + F.exp(-4.0 * margin))
+    return scored.select(
+        "id", "n_feats", "logit_sum",
+        F.when(F.col("n_feats") > 0, margin).cast("double").alias("margin"),
+        F.when(F.col("n_feats") > 0, prob).cast("double").alias("prob"),
+        F.when(F.col("n_feats") > 0,
+               2 * F.col("logit_sum") > F.col("n_feats")
+               * F.lit(FINGERPRINT_MOD))
+         .otherwise(F.lit(False)).alias("mq_pass"))

@@ -299,3 +299,60 @@ def test_pack_sequences_edge_cases(spark):
     assert out == {1: 0, 2: 0, 3: 5}
     with _pytest.raises(ValueError):
         pack_sequences(df, capacity=0)
+
+
+def test_pack_split_every_pack_at_capacity(spark):
+    # property: with splitting, every pack except the last holds EXACTLY
+    # `capacity` tokens, parts are contiguous within each doc and sum to
+    # n_tokens, and part ranges never cross pack boundaries
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pysemanticcomplexity_spark.operators.corpus import pack_sequences_split
+    rng = np.random.RandomState(11)
+    rows = [(int(i), int(t)) for i, t in
+            enumerate(rng.randint(0, 900, 400))]    # includes 0-token docs
+    rows[7] = (7, 5000)                             # multi-pack doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    C = 1000
+    out = pack_sequences_split(df, capacity=C, num_ranges=8).collect()
+    total = sum(t for _, t in rows)
+    by_pack = {}
+    by_doc = {}
+    for r in out:
+        assert 0 < r["tok_len"] <= C
+        assert 0 <= r["tok_start"] < r["n_tokens"]
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += r["tok_len"]
+        by_doc.setdefault(r["id"], []).append(r)
+    last_pack = max(by_pack)
+    for p, tot in by_pack.items():
+        assert tot == (C if p != last_pack else total - C * last_pack)
+    toks = dict(rows)
+    for did, parts in by_doc.items():
+        parts.sort(key=lambda r: r["part_idx"])
+        assert [p["part_idx"] for p in parts] == list(range(len(parts)))
+        assert [p["pack_id"] for p in parts] == \
+            list(range(parts[0]["pack_id"], parts[0]["pack_id"] + len(parts)))
+        pos = 0
+        for p in parts:
+            assert p["tok_start"] == pos
+            pos += p["tok_len"]
+        assert pos == toks[did]
+    # zero-token docs emit no parts; all others emit at least one
+    emitted = set(by_doc)
+    assert emitted == {i for i, t in rows if t > 0}
+
+
+def test_pack_split_single_part_docs_match_pack_sequences(spark):
+    # docs that never cross a boundary must land in the same pack as the
+    # non-splitting operator assigns
+    from pysemanticcomplexity_spark.operators.corpus import (
+        pack_sequences, pack_sequences_split)
+    rows = [(i, 100) for i in range(50)]            # 100-token docs, C=1000
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    plain = {r["id"]: r["pack_id"]
+             for r in pack_sequences(df, capacity=1000, num_ranges=4).collect()}
+    split = pack_sequences_split(df, capacity=1000, num_ranges=4).collect()
+    assert all(r["part_idx"] == 0 and r["tok_start"] == 0
+               and r["tok_len"] == 100 for r in split)
+    assert {r["id"]: r["pack_id"] for r in split} == plain

@@ -201,3 +201,49 @@ def test_pii_scrub_overlapping_span_counted_once(spark):
     assert r["text"] == "reach me at <EMAIL>"
     assert r["n_email"] == 1 and r["n_phone"] == 0
     assert r["n_pii"] == 1
+
+
+def test_model_quality_score_matches_python(spark, docs):
+    # independent python re-derivation of the hashed-linear model
+    import math
+    import re
+
+    from pysemanticcomplexity_spark.operators.textstats import (
+        FINGERPRINT_MOD as M, MODEL_N_BUCKETS as NB, MODEL_W_A as WA,
+        MODEL_W_B as WB, model_quality_score)
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % M
+        return acc
+
+    got = {r["id"]: r for r in model_quality_score(docs).collect()}
+    for did, text in [(r["doc_id"], r["text"])
+                      for r in docs.select("doc_id", "text").collect()]:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        feats = [poly(t) % NB for t in toks] + \
+            [poly(f"{a} {b}") % NB for a, b in zip(toks, toks[1:])]
+        s = sum((WA * b + WB) % M for b in feats)
+        r = got[did]
+        assert r["n_feats"] == len(feats)
+        assert r["logit_sum"] == s
+        if feats:
+            margin = s / len(feats) / M * 2.0 - 1.0
+            assert abs(r["margin"] - margin) < 1e-12
+            assert abs(r["prob"] - 1 / (1 + math.exp(-4 * margin))) < 1e-12
+            assert r["mq_pass"] == (2 * s > len(feats) * M)
+        else:
+            assert r["margin"] is None and r["prob"] is None
+            assert r["mq_pass"] is False
+
+
+def test_model_quality_score_plan_shape(spark, docs):
+    # ONE ArrowEvalPython (the weight gather) and no per-row PythonUDF;
+    # the feature hashing stays in JVM expressions
+    from pysemanticcomplexity_spark import plans
+    from pysemanticcomplexity_spark.operators.textstats import (
+        model_quality_score)
+    plan = plans.executed_plan(model_quality_score(docs))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan        # no row-at-a-time Python
