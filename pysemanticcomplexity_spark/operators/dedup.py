@@ -76,7 +76,8 @@ def reliable_checkpointer(sc, checkpoint_dir):
 
 __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
-           "simhash", "simhash_candidate_pairs", "embedding_near_dups",
+           "simhash", "simhash_rowlocal", "simhash_blocks",
+           "simhash_candidate_pairs", "embedding_near_dups",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
            "fuzzy_dedup_retained", "reliable_checkpointer"]
 
@@ -388,14 +389,67 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     return bit_sums.select("id", fp.alias("fingerprint"))
 
 
-def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
-                            n_bits: int = 64) -> DataFrame:
-    """Split the fingerprint into ``max_hamming + 1`` blocks; by pigeonhole
-    any pair within the Hamming threshold agrees on >= 1 full block, so the
-    self-join is bucketed by (block_idx, block_value), never all-pairs.
-    Recall is exact at ANY threshold — more blocks (higher threshold) just
-    means a denser candidate join. Blocks use variable widths so every bit
-    is covered (the first ``n_bits % n_blocks`` blocks get one extra bit)."""
+def simhash_rowlocal(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", hash_fn: str = "xxhash64",
+                     n_bits: int = 64) -> DataFrame:
+    """ROW-LOCAL simhash: identical fingerprints to :func:`simhash` (same
+    tokenization, hash family, and sign rule — asserted by an equality
+    test) computed without the groupBy — the token fold runs inside one
+    higher-order ``aggregate`` per row, so the operator is a stateless
+    projection: no shuffle, and therefore legal mid-stream (the fingerprint
+    stage of streaming/dedup.streaming_simhash_pairs).
+
+    Shape note: per-token ±1 bit contributions are folded into an
+    ``array_repeat(0, n_bits)`` accumulator with ``zip_with``; the final
+    sign/assemble pass reads the materialized sums column, not n_bits
+    copies of the fold expression."""
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda t: F.length(t) > 0)
+    if hash_fn == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+
+        def pm(h):
+            return F.array(*[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1)).cast("long")
+                for j in range(n_bits)])
+    elif hash_fn == "poly":
+        th = F.transform(toks, lambda t: poly_hash_expr(t))
+        seeds = simhash_bit_seeds(n_bits)
+
+        def pm(h):
+            return F.array(*[
+                F.when(((F.lit(c) * h + F.lit(d)) % F.lit(POLY_MOD))
+                       % F.lit(2) == 1, F.lit(1))
+                .otherwise(F.lit(-1)).cast("long")
+                for c, d in seeds])
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    acc0 = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    sums = F.aggregate(th, acc0,
+                       lambda acc, h: F.zip_with(acc, pm(h),
+                                                 lambda a, b: a + b))
+    # parity with simhash(): token-less documents emit no fingerprint
+    # (the groupBy path never sees them after the explode)
+    staged = (docs.filter(F.size(toks) > 0)
+              .select(F.col(id_col).alias("id"), sums.alias("_bits")))
+    fp = None
+    for j in range(n_bits):
+        b = F.when(F.element_at("_bits", j + 1) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), j)) \
+            .otherwise(F.lit(0).cast("long"))
+        fp = b if fp is None else fp.bitwiseXOR(b)
+    return staged.select("id", fp.alias("fingerprint"))
+
+
+def simhash_blocks(fps: DataFrame, max_hamming: int = 3,
+                   n_bits: int = 64) -> DataFrame:
+    """Explode (id, fingerprint) into pigeonhole blocks: ``max_hamming + 1``
+    variable-width bit slices (the first ``n_bits % n_blocks`` get one extra
+    bit so every bit is covered). Any pair within the Hamming threshold
+    agrees on >= 1 full block, so joins bucketed by (blk, val) have exact
+    recall. Shared by the batch self-join (simhash_candidate_pairs) and the
+    incremental new-vs-accumulated join (streaming/dedup.py)."""
     n_blocks = max_hamming + 1
     if n_blocks > n_bits:
         raise ValueError(f"max_hamming={max_hamming} needs {n_blocks} blocks "
@@ -403,7 +457,7 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
     base, rem = divmod(n_bits, n_blocks)
     widths = [base + 1 if k < rem else base for k in range(n_blocks)]
     offsets = [sum(widths[:k]) for k in range(n_blocks)]
-    blocks = fps.select(
+    return fps.select(
         "id", "fingerprint",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("blk"),
@@ -411,6 +465,15 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
                      .bitwiseAND(F.lit((1 << widths[k]) - 1)).alias("val"))
             for k in range(n_blocks)])).alias("b")) \
         .select("id", "fingerprint", "b.blk", "b.val")
+
+
+def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
+                            n_bits: int = 64) -> DataFrame:
+    """Pigeonhole-bucketed self-join over :func:`simhash_blocks` — the
+    candidate join is keyed by (block_idx, block_value), never all-pairs.
+    Recall is exact at ANY threshold — more blocks (higher threshold) just
+    means a denser candidate join."""
+    blocks = simhash_blocks(fps, max_hamming=max_hamming, n_bits=n_bits)
     a = blocks.select(F.col("id").alias("id_a"),
                       F.col("fingerprint").alias("fp_a"), "blk", "val")
     b = blocks.select(F.col("id").alias("id_b"),

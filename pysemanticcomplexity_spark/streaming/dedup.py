@@ -32,9 +32,10 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.dedup import exact_key_cols
+from ..operators.dedup import exact_key_cols, simhash_blocks, simhash_rowlocal
 
-__all__ = ["streaming_exact_dedup", "streaming_dup_counts"]
+__all__ = ["streaming_exact_dedup", "streaming_dup_counts",
+           "streaming_simhash_pairs"]
 
 
 def streaming_exact_dedup(stream: DataFrame, ts_col: str = "warc_ts",
@@ -91,3 +92,71 @@ def streaming_dup_counts(stream: DataFrame, id_col: str = "doc_id",
                                     stateStructType=_DUP_STATE,
                                     outputMode="update",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_simhash_pairs(fp_dir: str, pairs_dir: str, *,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_hamming: int = 3, n_bits: int = 64,
+                            hash_fn: str = "xxhash64"):
+    """Incremental FUZZY dedup — the standard streaming near-dup shape:
+
+    1. each micro-batch computes row-local simhash fingerprints
+       (:func:`operators.dedup.simhash_rowlocal` — a stateless projection,
+       so the expensive part runs inside the stream with no state);
+    2. a ``foreachBatch`` step joins the batch's pigeonhole blocks against
+       the ACCUMULATED fingerprint table (new x all, never all x all), so
+       each pair is discovered exactly once, in the batch that completes
+       it;
+    3. the batch's fingerprints and discovered pairs are appended, both
+       partitioned by ``batch_id`` with dynamic partition overwrite —
+       a replayed batch overwrites its own partition, making the sink
+       IDEMPOTENT under Structured Streaming's at-least-once foreachBatch
+       contract (same mechanism as lineage.resumable_write).
+
+    Returns the function to pass to ``stream.writeStream.foreachBatch``.
+    The union of ``pairs_dir`` over all batches equals the batch
+    ``simhash -> simhash_candidate_pairs`` output on the same rows
+    (asserted in tests/test_dedup.py): new-vs-old pairs are found when the
+    newer side arrives, new-vs-new pairs inside their own batch via the
+    same normalized (least, greatest) key.
+    """
+    import os as _os
+
+    def process(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        fps_new = simhash_rowlocal(batch_df, id_col=id_col,
+                                   text_col=text_col, hash_fn=hash_fn,
+                                   n_bits=n_bits).persist()
+        try:
+            if _os.path.isdir(fp_dir):
+                fps_all = (spark.read.parquet(fp_dir)
+                           .select("id", "fingerprint")
+                           .unionByName(fps_new))
+            else:
+                fps_all = fps_new
+            nb = simhash_blocks(fps_new, max_hamming=max_hamming,
+                                n_bits=n_bits) \
+                .select(F.col("id").alias("na"),
+                        F.col("fingerprint").alias("fa"), "blk", "val")
+            ab = simhash_blocks(fps_all, max_hamming=max_hamming,
+                                n_bits=n_bits) \
+                .select(F.col("id").alias("ob"),
+                        F.col("fingerprint").alias("fb"), "blk", "val")
+            ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            pairs = (nb.join(ab, ["blk", "val"])
+                     .filter(F.col("na") != F.col("ob"))
+                     .select(F.least("na", "ob").alias("id_a"),
+                             F.greatest("na", "ob").alias("id_b"),
+                             ham.alias("hamming"))
+                     .filter(F.col("hamming") <= max_hamming)
+                     .distinct())
+            with_bid = F.lit(int(batch_id)).alias("batch_id")
+            for df, out in ((pairs, pairs_dir), (fps_new, fp_dir)):
+                (df.withColumn("batch_id", with_bid)
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(out))
+        finally:
+            fps_new.unpersist()
+
+    return process

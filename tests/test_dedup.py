@@ -337,3 +337,77 @@ def test_jaccard_candidates_reflexive_pairs_dropped(spark, docs):
            dedup.ngram_jaccard_pairs(sh, threshold=0.1,
                                      candidates=cand).collect()}
     assert got == {(0, 3)}
+
+
+def test_rowlocal_simhash_equals_grouped(spark):
+    from pysemanticcomplexity_spark.operators.dedup import (
+        simhash, simhash_rowlocal)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for hf, nb in [("xxhash64", 64), ("poly", 32)]:
+        a = {r["id"]: r["fingerprint"]
+             for r in simhash(d, hash_fn=hf, n_bits=nb).collect()}
+        b = {r["id"]: r["fingerprint"]
+             for r in simhash_rowlocal(d, hash_fn=hf, n_bits=nb).collect()}
+        assert a == b
+    # token-less docs emit no fingerprint on either path
+    empty = spark.createDataFrame([(1, " "), (2, "real text here")],
+                                  "doc_id long, text string")
+    assert simhash_rowlocal(empty).count() == 1
+    assert simhash(empty).count() == 1
+
+
+def test_streaming_simhash_pairs_equals_batch(spark, tmp_path):
+    # stream-ingested near-dups across MULTIPLE micro-batches must produce
+    # exactly the batch simhash -> candidate-pairs output on the same rows
+    import pyspark.sql.functions as F
+    from pysemanticcomplexity_spark.operators.dedup import (
+        simhash, simhash_candidate_pairs)
+    from pysemanticcomplexity_spark.streaming.dedup import (
+        streaming_simhash_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain falls mainly on the plain and spark builds graphs")
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{base} variant token{i} closing words"))
+    # exact dups of docs 3/4/5 arriving in LATER batches (cross-batch pairs)
+    rows.append((103, rows[3][1]))
+    rows.append((104, rows[4][1]))
+    rows.append((205, rows[5][1]))
+    rows.append((206, rows[5][1]))           # a 3-clique split over batches
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            simhash_candidate_pairs(simhash(docs), max_hamming=3).collect()}
+    assert want, "fixture must contain near-dup pairs"
+    cross_batch = {p for p in want if p[0] < 100 and p[1] >= 100}
+    assert cross_batch, "fixture must pair across micro-batches"
+
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(rows[:31], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(rows[31:33], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(rows[33:], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    fp_dir, pairs_dir, ckpt = (str(tmp_path / d)
+                               for d in ("fps", "pairs", "ckpt"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(streaming_simhash_pairs(fp_dir, pairs_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(pairs_dir)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in got_df.collect()}
+    assert got == want
+    # each pair discovered exactly once (no cross-batch re-discovery)
+    assert got_df.count() == len(want)
+    # accumulated fingerprint table covers every ingested doc
+    assert spark.read.parquet(fp_dir).select("id").distinct().count() == \
+        len(rows)

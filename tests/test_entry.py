@@ -50,3 +50,23 @@ def test_rows_only_queries_run(spark):
     qs = E.queries()
     for name in ["KG_pipeline_triples_fused"]:
         assert qs[name](spark, SF_DIR).count() >= 0, name
+
+
+def test_driver_window_contract():
+    # the driver snapshots the first 50 registry entries: they must be
+    # exactly DRIVER_WINDOW, cover every operator family, and each carry an
+    # oracle except the 3 by-design rows-only KG_pipeline_* entries
+    qs, os_ = E.queries(), E.oracle_sql()
+    keys = list(qs)
+    assert keys[:50] == E.DRIVER_WINDOW
+    assert len(E.DRIVER_WINDOW) == 50
+    rows_only = {k for k in E.DRIVER_WINDOW if k not in os_}
+    assert rows_only == {"KG_pipeline_triples", "KG_pipeline_features",
+                         "KG_pipeline_triples_fused"}
+    prefixes = {"P", "S7", "A", "G", "M", "KG", "D", "S1", "S2", "S3",
+                "C", "E2E", "L1", "MM", "T", "QF"}
+    for p in prefixes:
+        assert any(k.startswith(p) for k in E.DRIVER_WINDOW), p
+    # everything past the window is still oracle-checkable (self-check) —
+    # these are the relational demos and the suite members
+    assert all(k in os_ for k in keys[50:])
