@@ -1299,34 +1299,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["C3b_pack_split"] = c3b_pack_split
 
     def e2e_corpus_prep(spark, sf_dir):
-        # the whole training-corpus prep as ONE declarative plan:
-        # Gopher quality filter -> exact-dedup representative keep ->
-        # benchmark decontamination -> stratified mix -> per-source rollup.
-        # Every stage is id-keyed, so Catalyst collapses the retain-set
-        # joins onto one partitioning of the 100 TB side. The compositional
-        # form re-scans documents per stage (fine at bench scale); a 100 TB
-        # run would stage the per-doc stats table once first, exactly like
-        # KGPipeline.run's staged tables, then join the narrow retain sets.
-        from pysemanticcomplexity_spark.operators import (
-            corpus, dedup, textstats)
+        # the whole training-corpus prep as ONE declarative plan (the
+        # library flagship operators/corpus.corpus_prep): Gopher quality ->
+        # exact-dedup representative keep -> benchmark decontamination ->
+        # model-quality margin cutoff (QF4; the comparison is on the raw
+        # double margin, bit-identical across engines because it derives
+        # from one exact integer sum) -> stratified mix -> per-source
+        # rollup. Every stage is id-keyed, so Catalyst collapses the
+        # retain-set joins onto one partitioning of the 100 TB side. The
+        # compositional form re-scans documents per stage (fine at bench
+        # scale); a 100 TB run would stage the per-doc stats table once
+        # first, exactly like KGPipeline.run's staged tables, then join
+        # the narrow retain sets. corpus_prep_and_write materializes the
+        # same plan with per-bucket lineage + resume (tests/test_corpus).
+        from pysemanticcomplexity_spark.operators.corpus import corpus_prep
         d = _docs(spark, sf_dir)
-        quality = (textstats.gopher_quality(d).filter("passes")
-                   .select("id", "n_words"))
-        keep = dedup.exact_dedup(d).select(F.col("keep_id").alias("id"))
         bench = d.filter(F.col("doc_id") % 53 == 0)
-        clean = (corpus.contamination_flags(d, bench, n=3)
-                 .filter(F.col("contamination") <= 0.05).select("id"))
-        sampled = (corpus.stratified_sample(
-                       d, {"src0": 1.0, "src1": 0.75, "src2": 0.5,
-                           "src3": 0.25}, default_fraction=0.5)
-                   .select(F.col("doc_id").alias("id"), "source"))
-        # model-based quality stage (QF4): gentle margin cutoff — the
-        # comparison is on the raw double margin, bit-identical across
-        # engines because it derives from one exact integer sum
-        mq = (textstats.model_quality_score(d)
-              .filter(F.col("margin") > -0.25).select("id"))
-        kept = (sampled.join(quality, "id").join(keep, "id")
-                .join(clean, "id").join(mq, "id"))
+        kept = corpus_prep(
+            d, bench, {"src0": 1.0, "src1": 0.75, "src2": 0.5,
+                       "src3": 0.25}, default_fraction=0.5,
+            contamination_threshold=0.05, mq_margin=-0.25)
         return (kept.groupBy("source")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                      F.sum("n_words").cast("long").alias("total_words")))

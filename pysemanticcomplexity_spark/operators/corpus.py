@@ -28,6 +28,7 @@ from .dedup import POLY_MOD, poly_hash_expr, shingles
 
 __all__ = ["contamination_flags", "contamination_flags_rowlocal",
            "pack_sequences", "pack_sequences_split", "stratified_sample",
+           "corpus_prep", "corpus_prep_and_write",
            "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
 
 # fraction granularity for stratified_sample: fraction -> integer threshold
@@ -293,3 +294,62 @@ def stratified_sample(docs: DataFrame, fractions: Dict[str, float],
                             F.lit(int(round(fractions[name] * SAMPLE_DENOM))))
                      .otherwise(threshold))
     return docs.filter(h < threshold)
+
+
+def corpus_prep(docs: DataFrame, benchmark: DataFrame,
+                fractions: Dict[str, float], *,
+                default_fraction: float = 0.0,
+                contamination_threshold: float = 0.05, n: int = 3,
+                mq_margin: float = -0.25,
+                id_col: str = "doc_id", text_col: str = "text",
+                strata_col: str = "source") -> DataFrame:
+    """The batch corpus-prep flagship as ONE declarative plan: Gopher
+    quality filter -> exact-dedup representative keep -> benchmark
+    decontamination -> model-quality margin cutoff -> stratified mix.
+    Returns the retained document rows (all input columns) plus the
+    Gopher ``n_words`` (the column every mix rollup needs).
+
+    Semantics are pinned by the driver oracle ``E2E_corpus_prep`` (its
+    rollup is exactly ``corpus_prep(...).groupBy(source)``); every stage's
+    retain set is keyed by ``id_col``, so Catalyst collapses the joins
+    onto one partitioning of the corpus side.
+    """
+    from . import dedup, textstats
+    quality = (textstats.gopher_quality(docs, id_col=id_col,
+                                        text_col=text_col)
+               .filter("passes").select("id", "n_words"))
+    keep = (dedup.exact_dedup(docs, id_col=id_col, text_col=text_col)
+            .select(F.col("keep_id").alias("id")))
+    clean = (contamination_flags(docs, benchmark, n=n, id_col=id_col,
+                                 text_col=text_col)
+             .filter(F.col("contamination") <= contamination_threshold)
+             .select("id"))
+    mq = (textstats.model_quality_score(docs, id_col=id_col,
+                                        text_col=text_col)
+          .filter(F.col("margin") > mq_margin).select("id"))
+    sampled = (stratified_sample(docs, fractions, strata_col=strata_col,
+                                 id_col=id_col,
+                                 default_fraction=default_fraction)
+               .select(F.col(id_col).alias("id")))
+    kept = (sampled.join(quality, "id").join(keep, "id")
+            .join(clean, "id").join(mq, "id"))
+    return docs.join(kept.withColumnRenamed("id", id_col), id_col)
+
+
+def corpus_prep_and_write(docs: DataFrame, benchmark: DataFrame,
+                          fractions: Dict[str, float], out_dir: str, *,
+                          n_buckets: int = 64, run_id: str = "run",
+                          resume: bool = True, id_col: str = "doc_id",
+                          **kwargs) -> None:
+    """Materialize :func:`corpus_prep` with per-bucket lineage +
+    checkpointed resume (lineage.resumable_write — the same contract as
+    KGPipeline.run_and_write): output partitioned by a deterministic
+    id-hash bucket, reruns skip buckets recorded done and REPLACE buckets
+    whose previous attempt crashed before its lineage row landed."""
+    from ..lineage import resumable_write
+    retained = corpus_prep(docs, benchmark, fractions, id_col=id_col,
+                           **kwargs)
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(n_buckets)).cast("int")
+    resumable_write(retained.withColumn("bucket", bucket), out_dir,
+                    "retained", run_id=run_id, resume=resume)

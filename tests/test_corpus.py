@@ -356,3 +356,63 @@ def test_pack_split_single_part_docs_match_pack_sequences(spark):
     assert all(r["part_idx"] == 0 and r["tok_start"] == 0
                and r["tok_len"] == 100 for r in split)
     assert {r["id"]: r["pack_id"] for r in split} == plain
+
+
+def test_corpus_prep_resume_after_kill(spark, tmp_path):
+    # E2E corpus prep gets the same kill-rerun resume coverage as the KG
+    # path: a run killed after stage k (some buckets written + recorded,
+    # one bucket's data landed but its lineage row did NOT) must, on
+    # rerun, produce exactly the full-run retained set — completed
+    # buckets untouched, the crashed bucket REPLACED (not appended)
+    import pyspark.sql.functions as F
+    from pysemanticcomplexity_spark.lineage import (
+        completed_buckets, read_lineage, resumable_write)
+    from pysemanticcomplexity_spark.operators.corpus import (
+        corpus_prep, corpus_prep_and_write)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    fr = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+    kw = dict(default_fraction=0.5, contamination_threshold=0.05,
+              mq_margin=-0.25)
+    n_buckets = 8
+    bucket = F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                    F.lit(n_buckets)).cast("int")
+
+    # ground truth: the one-shot run
+    ref_dir = str(tmp_path / "ref")
+    corpus_prep_and_write(docs, bench, fr, ref_dir, n_buckets=n_buckets,
+                          run_id="full", **kw)
+    want = {r["doc_id"] for r in
+            spark.read.parquet(ref_dir + "/retained").collect()}
+    assert want and want < {r["doc_id"] for r in docs.collect()}
+
+    # killed run: buckets 0-2 complete with lineage; bucket 3's data
+    # partially landed but the crash hit before its lineage row
+    out = str(tmp_path / "out")
+    retained = corpus_prep(docs, bench, fr, **kw).withColumn("bucket",
+                                                             bucket)
+    resumable_write(retained.filter("bucket <= 2"), out, "retained",
+                    run_id="killed")
+    (retained.filter("bucket = 3").limit(2)
+     .write.mode("append").partitionBy("bucket")
+     .parquet(out + "/retained"))
+    assert sorted(completed_buckets(spark, out, "retained")) == [0, 1, 2]
+
+    # rerun resumes: identical retained set, no duplicates
+    corpus_prep_and_write(docs, bench, fr, out, n_buckets=n_buckets,
+                          run_id="resume", **kw)
+    got_df = spark.read.parquet(out + "/retained")
+    got = [r["doc_id"] for r in got_df.collect()]
+    assert set(got) == want and len(got) == len(want)
+    # lineage row counts equal the per-bucket data counts, and the
+    # completed buckets kept their original run_id (never re-written)
+    lin = read_lineage(spark, out)
+    lin_counts = {(r["bucket"]): r["rows"] for r in lin.collect()}
+    data_counts = {r["bucket"]: r["cnt"] for r in
+                   got_df.groupBy("bucket").agg(F.count("*").alias("cnt"))
+                   .collect()}
+    assert lin_counts == data_counts
+    runs = {r["bucket"]: r["run_id"] for r in lin.collect()}
+    assert all(runs[b] == "killed" for b in (0, 1, 2))
+    assert all(rid == "resume" for b, rid in runs.items() if b > 2)
