@@ -66,7 +66,8 @@ def main():
                  "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh",
                  "D4_simhash", "S1_cosine_topk", "S2_lsh_topk",
                  "D5b_lsh_neardup", "T2_quality_score",
-                 "T3_fingerprint", "C1_contamination", "E2E_corpus_prep"]:
+                 "T3_fingerprint", "C1_contamination", "E2E_corpus_prep",
+                 "QF4_model_quality", "C3b_pack_split"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     wall = timings["kg_triples_fused"]

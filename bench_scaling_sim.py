@@ -38,8 +38,12 @@ flipped = F.transform(
     "embedding",
     lambda x, i: x * F.when(F.xxhash64(F.col("r"), i) % 2 == 0,
                             F.lit(1.0)).otherwise(F.lit(-1.0)).cast("float"))
+# r*10M must be LONG arithmetic: int32 r*10_000_000 silently wraps at
+# r >= 215 (replicas > 214), colliding vec_ids across replicas
 big = (emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
-       .select((F.col("vec_id") + F.col("r") * 10_000_000).alias("vec_id"),
+       .select((F.col("vec_id")
+                + F.col("r").cast("long") * F.lit(10_000_000).cast("long"))
+               .alias("vec_id"),
                flipped.alias("embedding")))
 big.repartition(64).write.mode("overwrite").parquet(out)
 print("PREP", big.count())
