@@ -1177,17 +1177,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_features_checksum(spark, sf_dir):
         # hash-grade driver check for the production FEATURES path (the
-        # last rows-only output): the 17 features whose value derives from
-        # integer sums / exact divisions (counts, density, assortativity,
-        # type/link moments, per-namespace subgraph pairs) are re-derived
-        # by DuckDB from the independent SQL production-mention model and
-        # compared per-url. Excluded (and why): nbWord + the two ratios
-        # (Treebank tokenizer, golden-tested in pytest), radius/diameter
-        # (BFS, networkx-cross-checked in pytest), textDensity* (annotator
-        # character offsets). Stds/assortativity round to 6 (numpy's
-        # deviation-form vs SQL's moment-form differ at ~1e-15 rel).
+        # last rows-only output): the 19 features whose value derives from
+        # integer arithmetic / exact divisions (counts, density,
+        # assortativity, type/link moments, per-namespace subgraph pairs,
+        # and the BFS radius/diameter — all-pairs shortest paths re-derived
+        # in SQL as four min-plus squarings, exact for diameters <= 16;
+        # the fixture corpus maxes at 9) are re-derived by DuckDB from the
+        # independent SQL production-mention model and compared per-url.
+        # Excluded (and why): nbWord + the two ratios (Treebank tokenizer,
+        # golden-tested in pytest), textDensity* (annotator character
+        # offsets). Stds/assortativity round to 6 (numpy's deviation-form
+        # vs SQL's moment-form differ at ~1e-15 rel).
         f = kg_features_full(spark, sf_dir)
         exact = ["nbConcepts", "nbUniqueConcepts", "nbNodes", "density",
+                 "radius", "diameter",
                  "nbNodes_DBPedia", "density_DBPedia", "nbNodes_Schema",
                  "density_Schema", "nbNodes_yago", "density_yago",
                  "nbTypesMean", "nbLinkInMean", "nbLinkOutMean"]
@@ -1318,7 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kept = corpus_prep(
             d, bench, {"src0": 1.0, "src1": 0.75, "src2": 0.5,
                        "src3": 0.25}, default_fraction=0.5,
-            contamination_threshold=0.05, mq_margin=-0.25)
+            contamination_threshold=0.05, mq_margin=-0.25,
+            fused=True)  # single-scan form; == staged by pytest + oracle
         return (kept.groupBy("source")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                      F.sum("n_words").cast("long").alias("total_words")))
@@ -1753,6 +1757,30 @@ astats AS (
          CAST(sum(x * y) AS BIGINT) AS sxy
   FROM dpairs GROUP BY url),
 {ns_keeps_sql},
+-- all-pairs shortest paths via min-plus squaring (exact for diameter<=16;
+-- the per-doc graphs max out at 9): d1 = edges+self, each squaring doubles
+-- the covered path length. Plain CTEs, no recursion -> no frontier blowup.
+und AS (SELECT url, a AS s, b AS t FROM fedges WHERE a <> b
+        UNION ALL SELECT url, b, a FROM fedges WHERE a <> b
+        UNION ALL SELECT url, a, a FROM fedges WHERE a = b),
+pd1 AS (SELECT url, s, t, 1 AS d FROM und
+        UNION ALL SELECT url, node, node, 0 FROM fnodes),
+pd2 AS (SELECT x.url, x.s, y.t, CAST(min(x.d + y.d) AS INTEGER) AS d
+        FROM pd1 x JOIN pd1 y ON x.url = y.url AND x.t = y.s
+        GROUP BY x.url, x.s, y.t),
+pd4 AS (SELECT x.url, x.s, y.t, CAST(min(x.d + y.d) AS INTEGER) AS d
+        FROM pd2 x JOIN pd2 y ON x.url = y.url AND x.t = y.s
+        GROUP BY x.url, x.s, y.t),
+pd8 AS (SELECT x.url, x.s, y.t, CAST(min(x.d + y.d) AS INTEGER) AS d
+        FROM pd4 x JOIN pd4 y ON x.url = y.url AND x.t = y.s
+        GROUP BY x.url, x.s, y.t),
+pd16 AS (SELECT x.url, x.s, y.t, CAST(min(x.d + y.d) AS INTEGER) AS d
+         FROM pd8 x JOIN pd8 y ON x.url = y.url AND x.t = y.s
+         GROUP BY x.url, x.s, y.t),
+pecc AS (SELECT url, s, max(d) AS ecc FROM pd16 GROUP BY url, s),
+rd AS (SELECT url, CAST(min(ecc) AS DOUBLE) AS radius,
+              CAST(max(ecc) AS DOUBLE) AS diameter
+       FROM pecc GROUP BY url),
 durls AS (SELECT CAST(doc_id AS VARCHAR) AS url FROM documents)
 SELECT du.url,
        round(coalesce(CAST(rs.sum_cnt AS DOUBLE), 0.0), 6) AS "nbConcepts",
@@ -1762,6 +1790,8 @@ SELECT du.url,
                   THEN 2.0 * gs.m_edges / (CAST(gs.n_nodes AS DOUBLE)
                        * (CAST(gs.n_nodes AS DOUBLE) - 1.0))
                   ELSE 1.0 END, 6) AS "density",
+       round(coalesce(rd.radius, 0.0), 6) AS "radius",
+       round(coalesce(rd.diameter, 0.0), 6) AS "diameter",
        {ns_sel_sql},
        round(CAST(rs.s_t AS DOUBLE) / rs.n_res, 6) AS "nbTypesMean",
        round(CAST(rs.s_i AS DOUBLE) / rs.n_res, 6) AS "nbLinkInMean",
@@ -1799,6 +1829,7 @@ FROM durls du
 LEFT JOIN rstats rs ON du.url = rs.url
 LEFT JOIN gstats gs ON du.url = gs.url
 LEFT JOIN astats a ON du.url = a.url
+LEFT JOIN rd ON du.url = rd.url
 {ns_joins}
 """
 

@@ -61,6 +61,11 @@ def main():
     timed("kg_features_staged", lambda: res.features.count())
 
     qs = E.queries()
+    # per-query timings write to the NOOP sink, not .count(): count() lets
+    # Catalyst prune every unused projection, so projection-only queries
+    # (T-series, QF4, MM) would time the bare scan instead of the operator
+    # (caught in round 4: QF4's pandas-UDF stage was pruned to 0.3 s).
+    # Aggregate/join-shaped queries are unaffected either way.
     for name in ["S7_mentions_sql", "G3_triples_sql_model", "M_graph_density",
                  "Q1_lineitem_agg", "J1_join_nation_revenue", "W1_running_sum",
                  "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh",
@@ -68,7 +73,8 @@ def main():
                  "D5b_lsh_neardup", "T2_quality_score",
                  "T3_fingerprint", "C1_contamination", "E2E_corpus_prep",
                  "QF4_model_quality", "C3b_pack_split"]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+        timed(name, lambda n=name: qs[n](spark, sf_dir)
+              .write.format("noop").mode("overwrite").save())
 
     wall = timings["kg_triples_fused"]
     result = {

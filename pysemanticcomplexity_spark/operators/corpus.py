@@ -302,12 +302,20 @@ def corpus_prep(docs: DataFrame, benchmark: DataFrame,
                 contamination_threshold: float = 0.05, n: int = 3,
                 mq_margin: float = -0.25,
                 id_col: str = "doc_id", text_col: str = "text",
-                strata_col: str = "source") -> DataFrame:
+                strata_col: str = "source",
+                full_rows: bool = False,
+                fused: bool = False) -> DataFrame:
     """The batch corpus-prep flagship as ONE declarative plan: Gopher
     quality filter -> exact-dedup representative keep -> benchmark
     decontamination -> model-quality margin cutoff -> stratified mix.
-    Returns the retained document rows (all input columns) plus the
-    Gopher ``n_words`` (the column every mix rollup needs).
+
+    Returns the NARROW retained table ``(id_col, strata_col, n_words)`` —
+    what every rollup/mix accounting needs — unless ``full_rows=True``,
+    which joins the retained id set back to ``docs`` for all input columns
+    (the materialization case, ``corpus_prep_and_write``). The narrow
+    default matters at scale: the retain-set joins carry a few dozen bytes
+    per row; dragging the text column through them multiplies the shuffle
+    by the payload width for nothing (measured 2.9x on E2E at sf0.1).
 
     Semantics are pinned by the driver oracle ``E2E_corpus_prep`` (its
     rollup is exactly ``corpus_prep(...).groupBy(source)``); every stage's
@@ -315,6 +323,35 @@ def corpus_prep(docs: DataFrame, benchmark: DataFrame,
     onto one partitioning of the corpus side.
     """
     from . import dedup, textstats
+    if fused:
+        # single-scan form (the "stage the per-doc stats once" note made
+        # real): the row-local stages — Gopher metrics, model margin,
+        # sample hash, and the broadcast-set contamination kernel — are
+        # computed in ONE pass over the corpus (mapInPandas passthrough +
+        # JVM expressions + one filter); the only other corpus touch is
+        # the exact-dedup keep-set aggregation, joined back by id. Two
+        # scans + one shuffle total, vs five scans + four joins staged;
+        # identical retained set (same row-local semantics, rowlocal
+        # contamination == join version by test, and the driver E2E
+        # oracle pins it cross-engine every round).
+        g = textstats.gopher_metric_exprs(text_col)
+        flagged = contamination_flags_rowlocal(
+            docs, benchmark, n=n, id_col=id_col, text_col=text_col,
+            passthrough=True)
+        kept = (stratified_sample(flagged, fractions, strata_col=strata_col,
+                                  id_col=id_col,
+                                  default_fraction=default_fraction)
+                .filter(g["passes"]
+                        & (F.col("contamination") <= contamination_threshold)
+                        & (textstats.model_margin_expr(text_col) > mq_margin))
+                .withColumn("n_words", g["n_words"]))
+        keep = (dedup.exact_dedup(docs, id_col=id_col, text_col=text_col)
+                .select(F.col("keep_id").alias(id_col)))
+        kept = kept.join(keep, id_col)
+        if not full_rows:
+            return kept.select(id_col, strata_col, "n_words")
+        return docs.join(kept.select(id_col), id_col)
+
     quality = (textstats.gopher_quality(docs, id_col=id_col,
                                         text_col=text_col)
                .filter("passes").select("id", "n_words"))
@@ -330,10 +367,12 @@ def corpus_prep(docs: DataFrame, benchmark: DataFrame,
     sampled = (stratified_sample(docs, fractions, strata_col=strata_col,
                                  id_col=id_col,
                                  default_fraction=default_fraction)
-               .select(F.col(id_col).alias("id")))
+               .select(F.col(id_col).alias("id"), strata_col))
     kept = (sampled.join(quality, "id").join(keep, "id")
             .join(clean, "id").join(mq, "id"))
-    return docs.join(kept.withColumnRenamed("id", id_col), id_col)
+    if not full_rows:
+        return kept.select(F.col("id").alias(id_col), strata_col, "n_words")
+    return docs.join(kept.select(F.col("id").alias(id_col)), id_col)
 
 
 def corpus_prep_and_write(docs: DataFrame, benchmark: DataFrame,
@@ -348,7 +387,7 @@ def corpus_prep_and_write(docs: DataFrame, benchmark: DataFrame,
     whose previous attempt crashed before its lineage row landed."""
     from ..lineage import resumable_write
     retained = corpus_prep(docs, benchmark, fractions, id_col=id_col,
-                           **kwargs)
+                           full_rows=True, **kwargs)
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                     F.lit(n_buckets)).cast("int")
     resumable_write(retained.withColumn("bucket", bucket), out_dir,

@@ -416,3 +416,19 @@ def test_corpus_prep_resume_after_kill(spark, tmp_path):
     runs = {r["bucket"]: r["run_id"] for r in lin.collect()}
     assert all(runs[b] == "killed" for b in (0, 1, 2))
     assert all(rid == "resume" for b, rid in runs.items() if b > 2)
+
+
+def test_corpus_prep_fused_equals_staged(spark):
+    # the single-scan (fused) corpus prep must retain the identical
+    # (id, source, n_words) set as the staged join composition
+    import pyspark.sql.functions as F
+    from pysemanticcomplexity_spark.operators.corpus import corpus_prep
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 53 == 0)
+    fr = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+    kw = dict(default_fraction=0.5, contamination_threshold=0.05,
+              mq_margin=-0.25)
+    a = sorted(map(tuple, corpus_prep(d, bench, fr, **kw).collect()))
+    b = sorted(map(tuple,
+                   corpus_prep(d, bench, fr, fused=True, **kw).collect()))
+    assert a == b and a

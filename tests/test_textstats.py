@@ -239,11 +239,23 @@ def test_model_quality_score_matches_python(spark, docs):
 
 
 def test_model_quality_score_plan_shape(spark, docs):
-    # ONE ArrowEvalPython (the weight gather) and no per-row PythonUDF;
-    # the feature hashing stays in JVM expressions
+    # gather kernel: ONE ArrowEvalPython (the weight gather) and no
+    # per-row PythonUDF; expr kernel (default): NO Python at all
     from pysemanticcomplexity_spark import plans
     from pysemanticcomplexity_spark.operators.textstats import (
         model_quality_score)
-    plan = plans.executed_plan(model_quality_score(docs))
+    plan = plans.executed_plan(model_quality_score(docs, kernel="gather"))
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan        # no row-at-a-time Python
+    plan_expr = plans.executed_plan(model_quality_score(docs))
+    assert "EvalPython" not in plan_expr        # pure JVM fold
+    assert "Exchange" not in plan_expr          # scan-side map
+
+
+def test_model_quality_kernels_identical(spark, docs):
+    from pysemanticcomplexity_spark.operators.textstats import (
+        model_quality_score)
+    a = sorted(map(tuple, model_quality_score(docs, kernel="expr").collect()))
+    b = sorted(map(tuple,
+                   model_quality_score(docs, kernel="gather").collect()))
+    assert a == b
