@@ -62,18 +62,15 @@ docs = spark.read.parquet(path)
 n_docs = docs.count()
 
 def job(d):
-    quality = (textstats.gopher_quality(d).filter("passes")
-               .select("id", "n_words"))
-    keep = dedup.exact_dedup(d).select(F.col("keep_id").alias("id"))
+    # the library flagship, single-scan form (round 4): row-local stages
+    # fused into one pass + the dedup keep-set shuffle + model-quality
+    # margin cutoff — the same composition the driver E2E oracle pins
     bench = d.filter((F.col("doc_id") < 1_000_000)
                      & (F.col("doc_id") % 53 == 0))
-    clean = (corpus.contamination_flags(d, bench, n=3)
-             .filter(F.col("contamination") <= 0.05).select("id"))
-    sampled = (corpus.stratified_sample(
-                   d, {"src0": 1.0, "src1": 0.75, "src2": 0.5,
-                       "src3": 0.25}, default_fraction=0.5)
-               .select(F.col("doc_id").alias("id"), "source"))
-    kept = sampled.join(quality, "id").join(keep, "id").join(clean, "id")
+    kept = corpus.corpus_prep(
+        d, bench, {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        default_fraction=0.5, contamination_threshold=0.05,
+        mq_margin=-0.25, fused=True)
     return (kept.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_words").alias("total_words")))

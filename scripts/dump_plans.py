@@ -94,14 +94,17 @@ def main():
 
     sections.append((
         "E2E_corpus_prep (quality -> dedup -> decontaminate -> mix -> rollup)",
-        "Sampler hash + per-stratum thresholds and the Gopher quality "
-        "conjunction are evaluated inside the parquet scans (DataFilters, "
-        "ReadSchema pruned per branch); exact-dedup keep = partial/final "
-        "min over the 128-bit key; contamination = broadcast benchmark "
-        "shingle join -> ONE map-side-combinable groupBy(id). The three "
-        "retain sets join the sampled corpus id-keyed — broadcast at bench "
-        "scale, and AQE switches to sort-merge on id when they outgrow the "
-        "threshold — then one partial/final rollup by source.",
+        "Round-4 fused (single-scan) form: ONE MapInPandas (broadcast-set "
+        "contamination kernel, passthrough) feeds ONE codegen'd Filter "
+        "holding the sampler hash + per-stratum thresholds, the full "
+        "Gopher conjunction AND the model-quality margin — all row-local "
+        "stages execute inside the scan's stage with zero shuffles. The "
+        "only other corpus touch is the exact-dedup keep-set (partial/"
+        "final min over the 128-bit key) joined back id-keyed (broadcast "
+        "at bench scale, AQE sort-merge when it outgrows the threshold), "
+        "then one partial/final rollup by source. Two scans + one shuffle "
+        "total vs five scans + four joins staged; fused == staged by "
+        "pytest and by the driver oracle.",
         fmt(q["E2E_corpus_prep"](spark, sf))))
 
     sections.append((
