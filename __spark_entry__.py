@@ -604,6 +604,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source"))
     q["D7_fuzzy_retained"] = d7_fuzzy_retained
 
+    def d8_line_dedup(spark, sf_dir):
+        # CCNet-style corpus-level line dedup; the single-line testdata is
+        # split into lines on ' slow ' (the PARAGRAPHS_SQL trick) so
+        # cross-document boilerplate lines exist for real
+        from pysemanticcomplexity_spark.operators.dedup import line_dedup
+        d = _docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace(F.col("text"), " slow ", "\n"))
+        return line_dedup(d, min_len=20)
+    q["D8_line_dedup"] = d8_line_dedup
+
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
             embedding_near_dups_bruteforce)
@@ -1833,6 +1843,20 @@ LEFT JOIN rd ON du.url = rd.url
 {ns_joins}
 """
 
+    # DuckDB 1.0 inlines CTEs per reference; the production-model chain and
+    # the min-plus squarings are each referenced repeatedly (pd8 twice in
+    # pd16, etc.), so inlining re-executes them multiplicatively. MATERIALIZED
+    # hints cut KG_features_checksum from 137 s to 38 s at sf0.01.
+    _HEAVY_CTES = ["kept", "ptoks", "positions", "best", "flags", "vis",
+                   "prod_m", "triples", "fedges", "fnodes", "und", "pd1",
+                   "pd2", "pd4", "pd8", "pd16", "mcounts", "deg"]
+    for _qname in ("KG_pred_counts", "KG_triples_checksum",
+                   "KG_features_checksum"):
+        _sql = o[_qname]
+        for _c in _HEAVY_CTES:
+            _sql = _sql.replace(f"{_c} AS (", f"{_c} AS MATERIALIZED (", 1)
+        o[_qname] = _sql
+
     o["Q1_lineitem_agg"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -1985,6 +2009,31 @@ SELECT i.id_a, i.id_b,
 FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
 JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
+"""
+
+    # D8: line dedup — winner = first (id, pos) per trimmed line (>= 20
+    # chars); the oracle groups on the LINE TEXT itself, pinning the
+    # engine's 128-bit hash keying
+    o["D8_line_dedup"] = """
+WITH s AS (SELECT doc_id AS id,
+                  str_split(replace(text, ' slow ', chr(10)), chr(10)) AS parts
+           FROM documents),
+l AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS line
+      FROM s, UNNEST(generate_series(1, len(parts))) AS t(i)),
+ke AS (SELECT id, pos, line,
+              row_number() OVER (PARTITION BY trim(line)
+                                 ORDER BY id, pos) AS rn
+       FROM l WHERE length(trim(line)) >= 20),
+kn AS (SELECT id, pos, line, 1 AS rn FROM l WHERE length(trim(line)) < 20),
+kept AS (SELECT id, pos, line FROM ke WHERE rn = 1
+         UNION ALL SELECT id, pos, line FROM kn),
+agg AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_lines_kept
+        FROM kept GROUP BY id),
+tot AS (SELECT id, CAST(len(parts) AS BIGINT) AS n_lines FROM s)
+SELECT t.id, coalesce(a.text, '') AS text, t.n_lines,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept
+FROM tot t LEFT JOIN agg a ON t.id = a.id
 """
 
     o["D5_embedding_neardup"] = """

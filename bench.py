@@ -32,10 +32,17 @@ def main():
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, runs: int = 2):
+        """Best-of-N wall (N=2 default): the sandbox box shows 20-30%
+        run-to-run noise on short jobs, and best-of matches the protocol
+        every BENCH/*.md scaling run already uses."""
+        best, out = None, None
+        for _ in range(runs):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # warm the JVM/Arrow path once on a tiny slice so the headline numbers

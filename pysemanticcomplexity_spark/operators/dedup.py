@@ -79,7 +79,7 @@ __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "simhash", "simhash_rowlocal", "simhash_blocks",
            "simhash_candidate_pairs", "embedding_near_dups",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
-           "fuzzy_dedup_retained", "reliable_checkpointer"]
+           "fuzzy_dedup_retained", "line_dedup", "reliable_checkpointer"]
 
 
 def normalize_text(col) -> F.Column:
@@ -590,3 +590,55 @@ def fuzzy_dedup_retained(docs: DataFrame, pairs: DataFrame = None,
     drops = (clusters.filter(F.col("id") != F.col("cluster_id"))
              .select(F.col("id").alias(id_col)))
     return docs.join(drops, id_col, "left_anti")
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_len: int = 30) -> DataFrame:
+    """CCNet-style corpus-level LINE deduplication (Wenzek et al. 2020):
+    boilerplate lines (navigation, cookie banners, footers) repeat across
+    millions of pages; every line whose trimmed form is at least
+    ``min_len`` chars keeps only its FIRST occurrence corpus-wide (minimal
+    (doc, position)), other copies are dropped and each document's text is
+    rebuilt from its surviving lines in order. Lines shorter than
+    ``min_len`` are never deduplicated (short strings collide by chance,
+    and dropping every blank line would destroy document structure).
+
+    Returns one row per input document: (id, text, n_lines, n_lines_kept)
+    — documents whose every line was boilerplate come back with ''.
+
+    Scale shape: lines are exploded once; the winner election groups on
+    the 128-bit two-seeded hash of the trimmed line (16-byte shuffle keys,
+    collision-safe at trillion-line scale — exact_key_cols' argument), one
+    partial-aggregated ``min(struct(id, pos))`` per group; the rebuild is
+    one groupBy(id) with ``array_sort`` + ``concat_ws``. Two shuffles
+    total, both map-side combinable. The DuckDB oracle (D8_line_dedup)
+    groups on the line text itself — equality pins the hash keying.
+    """
+    norm = F.trim(F.col("line"))
+    lines = (docs.select(F.col(id_col).alias("id"),
+                         F.posexplode(F.split(F.col(text_col), "\n"))
+                         .alias("pos", "line"))
+             .withColumn("_elig", F.length(norm) >= min_len)
+             .withColumn("_h1", F.xxhash64(norm))
+             .withColumn("_h2", F.xxhash64(F.lit(1), norm)))
+    winners = (lines.filter("_elig").groupBy("_h1", "_h2")
+               .agg(F.min(F.struct("id", "pos")).alias("_w")))
+    kept = (lines.join(winners, ["_h1", "_h2"], "left")
+            .filter(~F.col("_elig")
+                    | (F.struct("id", "pos") == F.col("_w"))))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+                    .alias("_ls"))
+               .select("id",
+                       F.concat_ws("\n", F.transform(
+                           "_ls", lambda s: s["line"])).alias("text"),
+                       F.size("_ls").cast("long").alias("n_lines_kept")))
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long")
+        .alias("n_lines"))
+    return (totals.join(rebuilt, "id", "left")
+            .select("id", F.coalesce("text", F.lit("")).alias("text"),
+                    "n_lines",
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+                    .alias("n_lines_kept")))

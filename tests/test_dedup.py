@@ -411,3 +411,37 @@ def test_streaming_simhash_pairs_equals_batch(spark, tmp_path):
     # accumulated fingerprint table covers every ingested doc
     assert spark.read.parquet(fp_dir).select("id").distinct().count() == \
         len(rows)
+
+
+def test_line_dedup_matches_python(spark):
+    from pysemanticcomplexity_spark.operators.dedup import line_dedup
+    rows = [
+        (0, "SHARED BOILERPLATE NAVIGATION BAR X\nunique alpha content line one\nok"),
+        (1, "SHARED BOILERPLATE NAVIGATION BAR X\nunique beta content line two\nok"),
+        (2, "totally original document body line\nSHARED BOILERPLATE NAVIGATION BAR X"),
+        (3, "short\n\nshort"),                       # nothing eligible
+        (4, "  SHARED BOILERPLATE NAVIGATION BAR X  "),   # trims to a dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in line_dedup(docs, min_len=20).collect()}
+
+    # python oracle: first occurrence of each trimmed line (>= 20 chars) wins
+    seen, want = {}, {}
+    for did, text in rows:
+        for pos, line in enumerate(text.split("\n")):
+            t = line.strip()
+            if len(t) >= 20:
+                seen.setdefault(t, (did, pos))
+    for did, text in rows:
+        kept = []
+        for pos, line in enumerate(text.split("\n")):
+            t = line.strip()
+            if len(t) < 20 or seen[t] == (did, pos):
+                kept.append(line)
+        want[did] = ("\n".join(kept), len(text.split("\n")), len(kept))
+    for did, (txt, n, k) in want.items():
+        r = got[did]
+        assert (r["text"], r["n_lines"], r["n_lines_kept"]) == (txt, n, k), did
+    # the boilerplate line survives exactly once, in doc 0
+    assert "SHARED BOILERPLATE" in got[0]["text"]
+    assert all("SHARED BOILERPLATE" not in got[i]["text"] for i in (1, 2, 4))
