@@ -604,6 +604,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source"))
     q["D7_fuzzy_retained"] = d7_fuzzy_retained
 
+    def _messy_urls(spark, sf_dir):
+        # deterministic Common-Crawl-style mess from doc_id: mixed case,
+        # default ports, tracking params, unsorted query, fragments,
+        # trailing slashes
+        d = _docs(spark, sf_dir)
+        doc = F.col("doc_id")
+        return d.select("doc_id", F.concat(
+            F.when(doc % 2 == 0, F.lit("HTTPS://WWW.Site-"))
+             .otherwise(F.lit("http://site-")),
+            (doc % 20).cast("string"),
+            F.when(doc % 2 == 0, F.lit(".COM:443/Docs/"))
+             .otherwise(F.lit(".com:80/Docs/")),
+            doc.cast("string"),
+            F.when(doc % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b=2&a=1"),
+            F.when(doc % 5 == 0, F.lit("&gclid=zz")).otherwise(F.lit("")),
+            F.when(doc % 4 == 0, F.lit("#frag")).otherwise(F.lit("")))
+            .alias("url"))
+
+    def u1_url_canonical(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.urls import (
+            canonicalize_url_expr, host_expr)
+        m = _messy_urls(spark, sf_dir)
+        return m.select("doc_id", "url",
+                        canonicalize_url_expr(F.col("url"))
+                        .alias("canonical"),
+                        host_expr(F.col("url")).alias("host"))
+    q["U1_url_canonical"] = u1_url_canonical
+
+    def _recrawl_pages(spark, sf_dir):
+        # fetch 1 at seq=doc_id; every third page re-fetched later under a
+        # shouting-case tracking-paramed variant of the SAME canonical url
+        d = _docs(spark, sf_dir)
+        doc = F.col("doc_id")
+        f1 = d.select(
+            F.concat(F.lit("https://www.ex"), (doc % 50).cast("string"),
+                     F.lit(".com/page/"), doc.cast("string")).alias("url"),
+            doc.alias("fetch_seq"))
+        f2 = d.filter(doc % 3 == 0).select(
+            F.concat(F.lit("HTTPS://WWW.EX"), (doc % 50).cast("string"),
+                     F.lit(".COM:443/page/"), doc.cast("string"),
+                     F.lit("/?utm_source=x")).alias("url"),
+            (doc + 1_000_000).alias("fetch_seq"))
+        return f1.unionByName(f2)
+
+    def u3_url_dedup(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.urls import url_dedup
+        return (url_dedup(_recrawl_pages(spark, sf_dir),
+                          ts_col="fetch_seq")
+                .select("canonical_url", "url",
+                        F.col("warc_ts").cast("long").alias("first_seq"),
+                        "n_fetches"))
+    q["U3_url_dedup"] = u3_url_dedup
+
+    def u2_host_rollup(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.urls import host_rollup
+        return host_rollup(_recrawl_pages(spark, sf_dir))
+    q["U2_host_rollup"] = u2_host_rollup
+
     def d8_line_dedup(spark, sf_dir):
         # CCNet-style corpus-level line dedup; the single-line testdata is
         # split into lines on ' slow ' (the PARAGRAPHS_SQL trick) so
@@ -2009,6 +2068,87 @@ SELECT i.id_a, i.id_b,
 FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
 JOIN sizes sb ON i.id_b = sb.doc_id
 WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
+"""
+
+    # U-family: url canonicalization mirrored expression-for-expression
+    # (RE2 patterns identical on both engines; list_sort == array_sort
+    # under binary collation on ASCII params)
+    CANON_SQL = r"""
+u2 AS (SELECT *, regexp_replace(url, '#.*$', '') AS nf FROM murls),
+pp AS (SELECT *,
+         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+         regexp_replace(regexp_extract(nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                        '/+$', '') AS path,
+         CASE WHEN contains(nf, '?')
+              THEN regexp_extract(nf, '\?([^#]*)', 1) ELSE '' END AS query
+       FROM u2),
+cc AS (SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS auth2,
+         array_to_string(list_sort(list_filter(str_split(query, '&'),
+             p -> length(p) > 0 AND NOT regexp_matches(p,
+                 '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&') AS qs
+       FROM pp),
+canon AS (SELECT *,
+         CASE WHEN length(scheme) > 0
+              THEN scheme || '://' || auth2 || path
+                   || CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END
+              ELSE url END AS canonical,
+         regexp_replace(auth, ':[0-9]+$', '') AS host
+       FROM cc)"""
+
+    MESSY_SQL = """murls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site-'
+              ELSE 'http://site-' END
+         || CAST(doc_id % 20 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '.COM:443/Docs/'
+                 ELSE '.com:80/Docs/' END
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || '?utm_source=feed&b=2&a=1'
+         || CASE WHEN doc_id % 5 = 0 THEN '&gclid=zz' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents)"""
+
+    o["U1_url_canonical"] = f"""
+WITH {MESSY_SQL},
+{CANON_SQL}
+SELECT doc_id, url, canonical, host FROM canon
+"""
+
+    RECRAWL_SQL = """murls AS (
+  SELECT 'https://www.ex' || CAST(doc_id % 50 AS VARCHAR) || '.com/page/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         doc_id AS fetch_seq
+  FROM documents
+  UNION ALL
+  SELECT 'HTTPS://WWW.EX' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/page/'
+         || CAST(doc_id AS VARCHAR) || '/?utm_source=x' AS url,
+         doc_id + 1000000 AS fetch_seq
+  FROM documents WHERE doc_id % 3 = 0)"""
+
+    o["U3_url_dedup"] = f"""
+WITH {RECRAWL_SQL},
+{CANON_SQL},
+r AS (SELECT canonical AS canonical_url, url, fetch_seq,
+             row_number() OVER (PARTITION BY canonical
+                                ORDER BY fetch_seq, url) AS rn,
+             count(*) OVER (PARTITION BY canonical) AS n
+      FROM canon)
+SELECT canonical_url, url, CAST(fetch_seq AS BIGINT) AS first_seq,
+       CAST(n AS BIGINT) AS n_fetches
+FROM r WHERE rn = 1
+"""
+
+    o["U2_host_rollup"] = f"""
+WITH {RECRAWL_SQL},
+{CANON_SQL}
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_urls
+FROM canon GROUP BY host
 """
 
     # D8: line dedup — winner = first (id, pos) per trimmed line (>= 20
