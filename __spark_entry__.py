@@ -1370,6 +1370,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences_split(d, capacity=2048, num_ranges=8)
     q["C3b_pack_split"] = c3b_pack_split
 
+    def c3c_chunk_documents(spark, sf_dir):
+        # sliding-window chunking with 50% overlap (size 512, stride 256)
+        from pysemanticcomplexity_spark.operators.corpus import (
+            chunk_documents)
+        from pysemanticcomplexity_spark.operators.textstats import (
+            token_count_expr)
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+        return chunk_documents(d, size=512, stride=256)
+    q["C3c_chunk_documents"] = c3c_chunk_documents
+
     def e2e_corpus_prep(spark, sf_dir):
         # the whole training-corpus prep as ONE declarative plan (the
         # library flagship operators/corpus.corpus_prep): Gopher quality ->
@@ -3032,6 +3044,24 @@ SELECT id, n_tokens,
        CAST(least((pk + 1) * 2048 - tb, n_tokens)
             - greatest(pk * 2048 - tb, 0) AS BIGINT) AS tok_len
 FROM s
+"""
+
+    o["C3c_chunk_documents"] = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT id, n_tokens, u.st
+  FROM t, unnest(generate_series(0,
+           CAST(floor((n_tokens - 1) / 256.0) AS BIGINT) * 256,
+           256)) u(st)
+  WHERE n_tokens > 0)
+SELECT id, CAST(st / 256 AS BIGINT) AS chunk_idx,
+       CAST(st AS BIGINT) AS tok_start,
+       CAST(least(512, n_tokens - st) AS BIGINT) AS tok_len
+FROM c
 """
 
     # KG_pipeline_triples / KG_pipeline_features: intentionally omitted

@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from .dedup import POLY_MOD, poly_hash_expr, shingles
 
 __all__ = ["contamination_flags", "contamination_flags_rowlocal",
-           "pack_sequences", "pack_sequences_split", "stratified_sample",
+           "pack_sequences", "pack_sequences_split", "chunk_documents",
+           "stratified_sample",
            "corpus_prep", "corpus_prep_and_write",
            "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
 
@@ -258,6 +259,41 @@ def pack_sequences_split(docs: DataFrame, capacity: int,
         p.cast("long").alias("pack_id"),
         tok_start.cast("long").alias("tok_start"),
         (tok_end - tok_start).cast("long").alias("tok_len"))
+
+
+def chunk_documents(docs: DataFrame, size: int, stride: int = None,
+                    id_col: str = "doc_id",
+                    token_col: str = "n_tokens") -> DataFrame:
+    """Sliding-window chunking (the embedding / long-context preprocessing
+    companion to packing): each document yields windows of ``size`` tokens
+    starting every ``stride`` tokens (default: no overlap, stride=size);
+    the final window is the remainder (no padding — the trainer's concern).
+    A document shorter than ``size`` yields exactly one chunk.
+
+    Returns (id, chunk_idx, tok_start, tok_len). Pure explode(sequence) —
+    row-local, no shuffle, streaming-legal; rows out are bounded by
+    ceil(n_tokens / stride) per document.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    stride = size if stride is None else stride
+    if not 0 < stride <= size:
+        raise ValueError(f"stride must be in (0, size], got {stride}")
+    n = F.col("n_tokens")
+    # last start: largest k*stride < n (docs with n=0 yield no chunks)
+    last = F.floor((n - 1) / stride) * stride
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(token_col).alias("n_tokens"))
+    starts = (base.filter(n > 0)
+              .withColumn("tok_start",
+                          F.explode(F.sequence(F.lit(0), last,
+                                               F.lit(stride)))))
+    return starts.select(
+        "id",
+        (F.col("tok_start") / stride).cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.lit(size), n - F.col("tok_start")).cast("long")
+        .alias("tok_len"))
 
 
 def stratified_sample(docs: DataFrame, fractions: Dict[str, float],

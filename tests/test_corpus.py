@@ -432,3 +432,35 @@ def test_corpus_prep_fused_equals_staged(spark):
     b = sorted(map(tuple,
                    corpus_prep(d, bench, fr, fused=True, **kw).collect()))
     assert a == b and a
+
+
+def test_chunk_documents_invariants(spark):
+    import numpy as np
+    import pytest as _pytest
+    from pysemanticcomplexity_spark.operators.corpus import chunk_documents
+    rng = np.random.RandomState(5)
+    rows = [(int(i), int(t)) for i, t in enumerate(rng.randint(0, 3000, 200))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    size, stride = 512, 256
+    out = chunk_documents(df, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    toks = dict(rows)
+    for did, n in rows:
+        chunks = sorted(by_doc.get(did, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not chunks
+            continue
+        import math
+        assert len(chunks) == math.ceil(n / stride)
+        for k, c in enumerate(chunks):
+            assert c["chunk_idx"] == k
+            assert c["tok_start"] == k * stride
+            assert c["tok_len"] == min(size, n - k * stride) > 0
+        # full coverage: every token position falls in >= 1 chunk
+        assert chunks[-1]["tok_start"] + chunks[-1]["tok_len"] == n
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=10, stride=11)
