@@ -177,19 +177,22 @@ DRIVER_WINDOW = [
     # production pipeline + derived hash-grade checks
     "KG_pipeline_triples", "KG_pipeline_features", "KG_pipeline_triples_fused",
     "KG_pred_counts", "KG_triples_checksum", "KG_features_checksum",
-    # dedup family
+    # dedup family (D5 brute-force oracle sits past the window: D5b is the
+    # production embedding-near-dup path and D8 the line-dedup family)
     "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh", "D4_simhash",
-    "D5_embedding_neardup", "D5b_lsh_neardup", "D6_dup_clusters",
-    "D7_fuzzy_retained",
+    "D5b_lsh_neardup", "D6_dup_clusters", "D7_fuzzy_retained",
+    "D8_line_dedup",
     # similarity family
     "S1_cosine_topk", "S2_lsh_topk", "S3_ivf_topk",
     # corpus prep family
     "C1_contamination", "C1b_contamination_rowlocal", "C2_stratified_sample",
     "C3_pack_sequences", "C3b_pack_split", "E2E_corpus_prep",
-    # lexical, multimodal, text/quality
-    "L1_ttr_features", "MM1_binary_meta", "MM2_image_decode",
+    # lexical, multimodal, text/quality, urls (MM1's trivial byte-meta
+    # check sits past the window: MM2 + the decode suite carry the family)
+    "L1_ttr_features", "MM2_image_decode",
     "MM_decode_suite", "T_doc_profile", "T4_winnowing", "T6_pii_scrub",
     "QF_doc_quality", "QF2_source_rollup", "QF4_model_quality",
+    "U1_url_canonical",
 ]
 
 
