@@ -59,13 +59,18 @@ def main():
     # headline: fused single-pass plan (shuffle-free; the 100 TB path) —
     # triples-only run for the triples/sec metric, full run for features —
     # then the staged DataFrame plan for comparison
+    # pipeline headlines run ONCE (runs=1): the fused/staged pipelines
+    # persist intermediates, so a second .count() would time the cache
+    # read, not the pipeline (the per-query loop below builds a fresh
+    # unpersisted plan per run, so best-of-2 is honest there)
     fused_t = pipe.run_fused(pages, persist_docs=False, with_features=False)
-    n_triples = timed("kg_triples_fused", lambda: fused_t.triples.count())
+    n_triples = timed("kg_triples_fused", lambda: fused_t.triples.count(),
+                      runs=2)       # persist_docs=False: honest recompute
     fused = pipe.run_fused(pages)
-    timed("kg_features_fused", lambda: fused.features.count())
+    timed("kg_features_fused", lambda: fused.features.count(), runs=1)
     res = pipe.run(pages)
-    timed("kg_triples_staged", lambda: res.triples.count())
-    timed("kg_features_staged", lambda: res.features.count())
+    timed("kg_triples_staged", lambda: res.triples.count(), runs=1)
+    timed("kg_features_staged", lambda: res.features.count(), runs=1)
 
     qs = E.queries()
     # per-query timings write to the NOOP sink, not .count(): count() lets
