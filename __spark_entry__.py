@@ -3058,7 +3058,8 @@ WITH t AS (
 c AS (
   SELECT id, n_tokens, u.st
   FROM t, unnest(generate_series(0,
-           CAST(floor((n_tokens - 1) / 256.0) AS BIGINT) * 256,
+           CAST(floor((greatest(n_tokens - 512 + 256, 1) - 1) / 256.0)
+                AS BIGINT) * 256,
            256)) u(st)
   WHERE n_tokens > 0)
 SELECT id, CAST(st / 256 AS BIGINT) AS chunk_idx,

@@ -270,9 +270,14 @@ def chunk_documents(docs: DataFrame, size: int, stride: int = None,
     the final window is the remainder (no padding — the trainer's concern).
     A document shorter than ``size`` yields exactly one chunk.
 
+    Standard stop-once-covered sliding-window semantics: no window starts
+    once the previous one already reaches the document end, so the tail is
+    never emitted twice (n=10, size=8, stride=4 -> [0,8), [4,10) — not a
+    redundant [8,10) fully contained in its predecessor).
+
     Returns (id, chunk_idx, tok_start, tok_len). Pure explode(sequence) —
     row-local, no shuffle, streaming-legal; rows out are bounded by
-    ceil(n_tokens / stride) per document.
+    1 + ceil(max(0, n_tokens - size) / stride) per document.
     """
     if size <= 0:
         raise ValueError(f"size must be positive, got {size}")
@@ -280,8 +285,10 @@ def chunk_documents(docs: DataFrame, size: int, stride: int = None,
     if not 0 < stride <= size:
         raise ValueError(f"stride must be in (0, size], got {stride}")
     n = F.col("n_tokens")
-    # last start: largest k*stride < n (docs with n=0 yield no chunks)
-    last = F.floor((n - 1) / stride) * stride
+    # last start: largest k*stride with k*stride + size - stride < n, i.e.
+    # strictly below max(1, n - size + stride) (docs with n=0 yield none)
+    last = F.floor((F.greatest(n - size + stride, F.lit(1)) - 1)
+                   / stride) * stride
     base = docs.select(F.col(id_col).alias("id"),
                        F.col(token_col).alias("n_tokens"))
     starts = (base.filter(n > 0)

@@ -633,10 +633,14 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                        F.concat_ws("\n", F.transform(
                            "_ls", lambda s: s["line"])).alias("text"),
                        F.size("_ls").cast("long").alias("n_lines_kept")))
+    # coalesce: size(split(NULL)) is NULL (ANSI off, non-legacy sizeOfNull)
+    # while text / n_lines_kept below coalesce to ''/0 — null-text crawl
+    # rows must come back as a consistent (id, '', 0, 0), not (id, '',
+    # NULL, 0)
     totals = docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("long")
-        .alias("n_lines"))
+        F.coalesce(F.size(F.split(F.col(text_col), "\n")), F.lit(0))
+        .cast("long").alias("n_lines"))
     return (totals.join(rebuilt, "id", "left")
             .select("id", F.coalesce("text", F.lit("")).alias("text"),
                     "n_lines",

@@ -224,8 +224,9 @@ PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     # optional +CC prefix matched for real (a '+' after whitespace has no
-    # \b before it, so \b\+? never engaged — ADVICE r3); still RE2-safe
-    ("phone", r"(\+\d{1,2}[-. ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # \b before it, so \b\+? never engaged — ADVICE r3); 1-3 digit country
+    # codes (+1 ... +998 — ADVICE r4 caught +353/+971 leaking); RE2-safe
+    ("phone", r"(\+\d{1,3}[-. ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 

@@ -120,7 +120,25 @@ def streaming_simhash_pairs(fp_dir: str, pairs_dir: str, *,
     newer side arrives, new-vs-new pairs inside their own batch via the
     same normalized (least, greatest) key.
     """
-    import os as _os
+    from pyspark.errors import AnalysisException
+
+    def _read_prior_fps(spark):
+        """Accumulated fingerprints, or None on the first batch.
+
+        Probed by *attempting the read* rather than a driver-local
+        ``os.path.isdir`` — the sink may live on HDFS/S3 where a POSIX
+        check is always False (silently dropping every cross-batch pair),
+        and a crashed first write can leave the directory existing with
+        zero committed parquet footers (where isdir says "readable" and
+        the read throws forever). An empty/unreadable dir is treated as
+        "no prior fingerprints".
+        """
+        try:
+            prior = spark.read.parquet(fp_dir).select("id", "fingerprint")
+            prior.schema  # force analysis now, inside the try
+            return prior
+        except AnalysisException:
+            return None
 
     def process(batch_df, batch_id: int):
         spark = batch_df.sparkSession
@@ -128,12 +146,9 @@ def streaming_simhash_pairs(fp_dir: str, pairs_dir: str, *,
                                    text_col=text_col, hash_fn=hash_fn,
                                    n_bits=n_bits).persist()
         try:
-            if _os.path.isdir(fp_dir):
-                fps_all = (spark.read.parquet(fp_dir)
-                           .select("id", "fingerprint")
-                           .unionByName(fps_new))
-            else:
-                fps_all = fps_new
+            prior = _read_prior_fps(spark)
+            fps_all = (prior.unionByName(fps_new)
+                       if prior is not None else fps_new)
             nb = simhash_blocks(fps_new, max_hamming=max_hamming,
                                 n_bits=n_bits) \
                 .select(F.col("id").alias("na"),

@@ -390,8 +390,12 @@ def test_corpus_prep_resume_after_kill(spark, tmp_path):
     # killed run: buckets 0-2 complete with lineage; bucket 3's data
     # partially landed but the crash hit before its lineage row
     out = str(tmp_path / "out")
-    retained = corpus_prep(docs, bench, fr, **kw).withColumn("bucket",
-                                                             bucket)
+    # full_rows=True matches what corpus_prep_and_write itself writes —
+    # a real crash always leaves full-row files, and mixing the narrow
+    # schema here would make the later read depend on which parquet
+    # footer Spark samples (ADVICE r4)
+    retained = corpus_prep(docs, bench, fr, full_rows=True,
+                           **kw).withColumn("bucket", bucket)
     resumable_write(retained.filter("bucket <= 2"), out, "retained",
                     run_id="killed")
     (retained.filter("bucket = 3").limit(2)
@@ -453,13 +457,19 @@ def test_chunk_documents_invariants(spark):
             assert not chunks
             continue
         import math
-        assert len(chunks) == math.ceil(n / stride)
+        # stop-once-covered: one chunk, plus one per stride past `size`
+        assert len(chunks) == 1 + math.ceil(max(0, n - size) / stride)
         for k, c in enumerate(chunks):
             assert c["chunk_idx"] == k
             assert c["tok_start"] == k * stride
             assert c["tok_len"] == min(size, n - k * stride) > 0
         # full coverage: every token position falls in >= 1 chunk
         assert chunks[-1]["tok_start"] + chunks[-1]["tok_len"] == n
+        # no redundant tail: the last chunk is not contained in its
+        # predecessor
+        if len(chunks) > 1:
+            prev_end = chunks[-2]["tok_start"] + chunks[-2]["tok_len"]
+            assert prev_end < n
     with _pytest.raises(ValueError):
         chunk_documents(df, size=0)
     with _pytest.raises(ValueError):

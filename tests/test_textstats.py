@@ -138,6 +138,7 @@ def test_pii_scrub_matches_python(spark):
         (2, "no pii here, just 1234 and 12.5 percent"),
         (3, ""),
         (4, "edge 999.999.999.999 and 123-45-678 (not an ssn)"),
+        (5, "call +353 123-456-7890 or +971 555-123-4567 today"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r for r in pii_scrub(df).collect()}
@@ -154,6 +155,8 @@ def test_pii_scrub_matches_python(spark):
     assert got[0]["text"] == ("contact <EMAIL> or <PHONE>, server <IP>, "
                               "ssn <SSN>")
     assert got[4]["n_ssn"] == 0                 # 123-45-678 is not an SSN
+    # 3-digit country codes are swallowed by the placeholder, not leaked
+    assert got[5]["text"] == "call <PHONE> or <PHONE> today"
 
 
 def test_repetition_stats_matches_python(spark):
