@@ -125,6 +125,17 @@ class GazetteerMatcher:
                 key=lambda x: (-x[0], x[1]),
             )
             self._scored[key] = scored
+        # Sentinel separator for annotate_doc_spans: a token that occurs in
+        # NO surface (so a multi-token surface can never match across a
+        # paragraph boundary through it), wrapped in \x00 (non-word) so it
+        # is a complete \w+ run of its own. Deterministic: first candidate
+        # not colliding with any key token wins.
+        key_tokens = {t for key in index for t in key.split(" ")}
+        sent, i = "xqzsep0", 0
+        while sent in key_tokens:
+            i += 1
+            sent = f"xqzsep{i}"
+        self._sep = "\x00" + sent + "\x00"
         # Final per-surface disambiguation (best candidate surviving the
         # support/types filters, above the confidence threshold, plus psr
         # and candidate count) is static for a given matcher instance —
@@ -174,6 +185,47 @@ class GazetteerMatcher:
                 continue
             uri, types, sim, psr, support, n = fin
             yield (offset, surface, uri, types, sim, psr, support, n)
+
+    def annotate_doc_spans(self, paragraphs: List[str]) \
+            -> Iterator[Tuple[int, str]]:
+        """Yield ``(doc_offset, key)`` for every kept mention across a whole
+        document's paragraphs, offsets already re-based to document
+        coordinates (P6: cumulative paragraph char lengths,
+        conceptExtraction.py:29).
+
+        One prescan/tokenizer pass over the sentinel-joined paragraphs
+        replaces one pass per paragraph — testdata paragraphs average ~10
+        chars, so per-call regex setup dominated the per-paragraph shape.
+        Semantics are unchanged: the joiner is ``\\x00<sentinel>\\x00`` where
+        the sentinel token appears in no surface, so (a) no prescan hit can
+        start inside it, (b) any multi-token window crossing a boundary
+        joins the sentinel into its key and cannot match, exactly like the
+        per-paragraph walk that stops at the paragraph end. Emitted in
+        document order (tests assert equality with the per-paragraph path).
+        """
+        best = self._best
+        if not paragraphs:
+            return
+        if len(paragraphs) == 1:
+            for off, _surface, key in self._match_spans(paragraphs[0]):
+                if key in best:
+                    yield (off, key)
+            return
+        sep_len = len(self._sep)
+        concat = self._sep.join(paragraphs)
+        # concat start of paragraph k; doc offset = concat offset - k*sep_len
+        starts: List[int] = []
+        pos = 0
+        for p in paragraphs:
+            starts.append(pos)
+            pos += len(p) + sep_len
+        k, n_par = 0, len(starts)
+        for off, _surface, key in self._match_spans(concat):
+            if key not in best:
+                continue
+            while k + 1 < n_par and off >= starts[k + 1]:
+                k += 1
+            yield (off - k * sep_len, key)
 
     def annotate_candidates(self, paragraph: str) -> Iterator[Mention]:
         """Yield *all* candidates per matched span (for the explicit

@@ -55,6 +55,27 @@ def test_prescan_matches_token_walk(words, sep):
         list(m._match_spans_scan(text))
 
 
+@given(st.lists(st.lists(st.sampled_from(_SPAN_WORDS), min_size=0,
+                          max_size=12).map(" ".join),
+                min_size=0, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_doc_spans_match_per_paragraph_walk(paragraphs):
+    """annotate_doc_spans (one sentinel-joined prescan per document) must
+    emit exactly the (doc_offset, uri) sequence of the per-paragraph
+    annotate() walk with P6 offset re-basing — including multi-token
+    surfaces that would span a paragraph boundary (must NOT match)."""
+    m = _matcher()
+    expected = []
+    span = 0
+    for p in paragraphs:
+        for (off, _surface, uri, *_rest) in m.annotate(p):
+            expected.append((off + span, uri))
+        span += len(p)
+    got = [(off, m._best[key][0])
+           for off, key in m.annotate_doc_spans(paragraphs)]
+    assert got == expected
+
+
 def test_non_ascii_gazetteer_falls_back():
     rows = [("straße eins", "http://x/Strasse", 10, 1.0, ""),
             ("spark", "http://x/Spark", 10, 1.0, "")]
