@@ -48,29 +48,48 @@ def main():
     # warm the JVM/Arrow path once on a tiny slice so the headline numbers
     # measure steady-state throughput, not first-job startup.
     # The sf0.1 documents table is ONE small parquet file -> one scan
-    # partition; repartition so the scan-parallel stages actually use the
-    # cores (a real corpus has many input files and needs no such step).
-    pages = pages_from_documents(spark, sf_dir).repartition(cpus * 4)
+    # partition; repartition to tasks == cores. A real corpus gets its
+    # parallelism from input splits (maxPartitionBytes) and AQE handles
+    # stragglers; at bench scale the per-task Python-worker round-trip
+    # (~10 ms) dominates, so cpus*4 tasks only added fixed overhead
+    # (measured: 128 tasks 1.40 s vs 32 tasks 0.49 s for the same job).
+    pages = pages_from_documents(spark, sf_dir).repartition(cpus)
     dims = fixtures.spark_dims(spark)
     pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
                       dims["instance_types"], dims["kb_triples"])
     pipe.run(pages.limit(64)).triples.count()
+    # warm the fused path at full width too: the first mapInPandas job pays
+    # one Python-worker spawn per core (limit(64) collapses to 1 partition
+    # and warms only one), which otherwise lands in the first timed run
+    pipe.run_fused(pages, persist_docs=False,
+                   with_features=False).triples.count()
+    spark.catalog.clearCache()
 
     # headline: fused single-pass plan (shuffle-free; the 100 TB path) —
     # triples-only run for the triples/sec metric, full run for features —
-    # then the staged DataFrame plan for comparison
-    # pipeline headlines run ONCE (runs=1): the fused/staged pipelines
-    # persist intermediates, so a second .count() would time the cache
-    # read, not the pipeline (the per-query loop below builds a fresh
-    # unpersisted plan per run, so best-of-2 is honest there)
+    # then the staged DataFrame plan for comparison. Both fused runs use
+    # persist_docs=False (honest recompute) so best-of-2 never times a
+    # cache read; the staged pipeline persists intermediates by design, so
+    # each staged run rebuilds the pipeline with a fresh cache and best-of-3
+    # compares full fresh runs (round-4 verdict: runs=1 staged walls were
+    # irreproducible on a box with 20-30% wall noise).
     fused_t = pipe.run_fused(pages, persist_docs=False, with_features=False)
     n_triples = timed("kg_triples_fused", lambda: fused_t.triples.count(),
-                      runs=2)       # persist_docs=False: honest recompute
-    fused = pipe.run_fused(pages)
-    timed("kg_features_fused", lambda: fused.features.count(), runs=1)
-    res = pipe.run(pages)
-    timed("kg_triples_staged", lambda: res.triples.count(), runs=1)
-    timed("kg_features_staged", lambda: res.features.count(), runs=1)
+                      runs=2)
+    fused_f = pipe.run_fused(pages, persist_docs=False, with_features=True)
+    timed("kg_features_fused", lambda: fused_f.features.count(), runs=2)
+
+    staged_tr, staged_ft = [], []
+    for _ in range(3):
+        spark.catalog.clearCache()     # fresh persist per staged run
+        res = pipe.run(pages)
+        t0 = time.time(); res.triples.count()
+        staged_tr.append(time.time() - t0)
+        t0 = time.time(); res.features.count()   # incremental over persisted stages
+        staged_ft.append(time.time() - t0)
+    spark.catalog.clearCache()
+    timings["kg_triples_staged"] = round(min(staged_tr), 3)
+    timings["kg_features_staged"] = round(min(staged_ft), 3)
 
     qs = E.queries()
     # per-query timings write to the NOOP sink, not .count(): count() lets
