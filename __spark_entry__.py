@@ -1249,24 +1249,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_features_checksum(spark, sf_dir):
         # hash-grade driver check for the production FEATURES path (the
-        # last rows-only output): the 19 features whose value derives from
-        # integer arithmetic / exact divisions (counts, density,
-        # assortativity, type/link moments, per-namespace subgraph pairs,
-        # and the BFS radius/diameter — all-pairs shortest paths re-derived
-        # in SQL as four min-plus squarings, exact for diameters <= 16;
-        # the fixture corpus maxes at 9) are re-derived by DuckDB from the
-        # independent SQL production-mention model and compared per-url.
-        # Excluded (and why): nbWord + the two ratios (Treebank tokenizer,
-        # golden-tested in pytest), textDensity* (annotator character
-        # offsets). Stds/assortativity round to 6 (numpy's deviation-form
-        # vs SQL's moment-form differ at ~1e-15 rel).
+        # last rows-only output): ALL 24 feature columns are re-derived by
+        # DuckDB from the independent SQL production-mention model and
+        # compared per-url. Counts/densities/radius/diameter come from
+        # integer arithmetic (all-pairs shortest paths as four min-plus
+        # squarings, exact for diameters <= 16; the fixture corpus maxes
+        # at 9); nbWord + the two ratios from the corpus-exact [a-z0-9]+
+        # Treebank model over kept paragraphs (real tokenizer golden-tested
+        # in pytest); textDensity* from last-mention-wins char offsets
+        # (separator/token prefix sums) against the same distance matrix.
+        # Stds/assortativity/ratios/textDensity round to 6 (numpy's
+        # deviation-form vs SQL's moment-form differ at ~1e-15 rel).
         f = kg_features_full(spark, sf_dir)
-        exact = ["nbConcepts", "nbUniqueConcepts", "nbNodes", "density",
-                 "radius", "diameter",
+        exact = ["nbWord", "nbConcepts", "nbUniqueConcepts", "nbNodes",
+                 "density", "radius", "diameter",
                  "nbNodes_DBPedia", "density_DBPedia", "nbNodes_Schema",
                  "density_Schema", "nbNodes_yago", "density_yago",
                  "nbTypesMean", "nbLinkInMean", "nbLinkOutMean"]
-        fp6 = ["assortativity", "nbTypesStd", "nbLinkInStd", "nbLinkOutStd"]
+        fp6 = ["conceptsWordsRatio", "uniqueConceptsWordsRatio",
+               "textDensityMean", "textDensityStd",
+               "assortativity", "nbTypesStd", "nbLinkInStd", "nbLinkOutStd"]
         cols = [F.when(F.isnan(F.col(c)), F.lit(None))
                 .otherwise(F.round(F.col(c), 6)).alias(c)
                 for c in exact + fp6]
@@ -1629,12 +1631,16 @@ cleaned AS (
          regexp_replace(text, '[\x00-\x09\x0b-\x1f\x80-\x9e]', ' ', 'g') AS t
   FROM documents),
 kept AS (
-  SELECT doc_id, p.para
-  FROM (SELECT doc_id, unnest(str_split(t, chr(10)||chr(10))) AS para
-        FROM cleaned) p
-  WHERE length(p.para) > 150),
+  -- pid = split-paragraph ordinal (not row_number over an unordered
+  -- partition): the textDensity offsets below need paragraph ORDER, so
+  -- the id must be deterministic, monotone in document order
+  SELECT doc_id, g.i AS pid, p.parts[g.i] AS para
+  FROM (SELECT doc_id, str_split(t, chr(10)||chr(10)) AS parts
+        FROM cleaned) p,
+       UNNEST(generate_series(1, len(p.parts))) AS g(i)
+  WHERE length(p.parts[g.i]) > 150),
 ptoks AS (
-  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS pid,
+  SELECT doc_id, pid, para,
          list_transform(regexp_extract_all(para, '\w+'), x -> lower(x)) AS toks
   FROM kept),
 positions AS (
@@ -1865,8 +1871,69 @@ pecc AS (SELECT url, s, max(d) AS ecc FROM pd16 GROUP BY url, s),
 rd AS (SELECT url, CAST(min(ecc) AS DOUBLE) AS radius,
               CAST(max(ecc) AS DOUBLE) AS diameter
        FROM pecc GROUP BY url),
+-- nbWord: Treebank count over kept paragraphs (the [a-z0-9]+ SQL model is
+-- corpus-exact vs the real tokenizer, which is golden-tested in pytest)
+nbw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CAST(sum(len(regexp_extract_all(lower(para), '[a-z0-9]+')))
+              AS BIGINT) AS nb_words
+  FROM kept GROUP BY doc_id),
+-- per-token char start offsets: token i starts after i separator pieces
+-- (str_split_regex on the token regex) and i-1 tokens
+tu AS (
+  SELECT doc_id, pid, g.i, length(p.seps[g.i]) AS sl, length(p.toks[g.i]) AS tl
+  FROM (SELECT doc_id, pid, toks, str_split_regex(para, '\w+') AS seps
+        FROM ptoks) p,
+       UNNEST(generate_series(1, len(p.toks))) AS g(i)),
+toffs AS (
+  SELECT doc_id, pid, i,
+         CAST(coalesce(SUM(sl + tl) OVER (PARTITION BY doc_id, pid ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + sl
+              AS BIGINT) AS ch
+  FROM tu),
+-- P6 re-basing: cumulative char length of preceding KEPT paragraphs
+pbase AS (
+  SELECT doc_id, pid,
+         CAST(coalesce(SUM(length(para)) OVER (PARTITION BY doc_id
+              ORDER BY pid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS base
+  FROM ptoks),
+-- A5 last-mention-wins doc offset per (url, uri)
+lastoff AS (
+  SELECT CAST(v.doc_id AS VARCHAR) AS url, v.uri,
+         CAST(arg_max(pb.base + t.ch, v.pid * 1000000 + v.i) AS DOUBLE) AS off
+  FROM vis v
+  JOIN toffs t ON v.doc_id = t.doc_id AND v.pid = t.pid AND v.i = t.i
+  JOIN pbase pb ON v.doc_id = pb.doc_id AND v.pid = pb.pid
+  WHERE v.visited AND v.uri IS NOT NULL
+  GROUP BY v.doc_id, v.uri),
+-- M7 textDensity: dens(u,v) = (|off_u-off_v|/nbWord)^2 * sqrt(d(u,v)/diam)
+-- over unordered resource pairs; population mean/std
+tdp AS (
+  SELECT a.url,
+         (abs(a.off - b.off) / nbw.nb_words)
+           * (abs(a.off - b.off) / nbw.nb_words)
+           * sqrt(CAST(p.d AS DOUBLE) / rd.diameter) AS dens
+  FROM lastoff a
+  JOIN lastoff b ON a.url = b.url AND a.uri < b.uri
+  JOIN pd16 p ON p.url = a.url AND p.s = a.uri AND p.t = b.uri
+  JOIN rd ON rd.url = a.url
+  JOIN nbw ON nbw.url = a.url),
+tds AS (
+  SELECT url, avg(dens) AS td_mean,
+         sqrt(greatest(avg(dens * dens) - avg(dens) * avg(dens), 0.0)) AS td_std
+  FROM tdp GROUP BY url),
 durls AS (SELECT CAST(doc_id AS VARCHAR) AS url FROM documents)
 SELECT du.url,
+       round(coalesce(CAST(nbw.nb_words AS DOUBLE), 0.0), 6) AS "nbWord",
+       CASE WHEN coalesce(nbw.nb_words, 0) > 0 THEN
+         round(coalesce(CAST(rs.sum_cnt AS DOUBLE), 0.0) / nbw.nb_words, 6)
+       END AS "conceptsWordsRatio",
+       CASE WHEN coalesce(nbw.nb_words, 0) > 0 THEN
+         round(coalesce(CAST(rs.n_res AS DOUBLE), 0.0) / nbw.nb_words, 6)
+       END AS "uniqueConceptsWordsRatio",
+       round(tds.td_mean, 6) AS "textDensityMean",
+       round(tds.td_std, 6) AS "textDensityStd",
        round(coalesce(CAST(rs.sum_cnt AS DOUBLE), 0.0), 6) AS "nbConcepts",
        round(coalesce(CAST(rs.n_res AS DOUBLE), 0.0), 6) AS "nbUniqueConcepts",
        round(coalesce(CAST(gs.n_nodes AS DOUBLE), 0.0), 6) AS "nbNodes",
@@ -1914,6 +1981,8 @@ LEFT JOIN rstats rs ON du.url = rs.url
 LEFT JOIN gstats gs ON du.url = gs.url
 LEFT JOIN astats a ON du.url = a.url
 LEFT JOIN rd ON du.url = rd.url
+LEFT JOIN nbw ON du.url = nbw.url
+LEFT JOIN tds ON du.url = tds.url
 {ns_joins}
 """
 
