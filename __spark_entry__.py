@@ -187,9 +187,10 @@ DRIVER_WINDOW = [
     # corpus prep family
     "C1_contamination", "C1b_contamination_rowlocal", "C2_stratified_sample",
     "C3_pack_sequences", "C3b_pack_split", "E2E_corpus_prep",
-    # lexical, multimodal, text/quality, urls (MM1's trivial byte-meta
-    # check sits past the window: MM2 + the decode suite carry the family)
-    "L1_ttr_features", "MM2_image_decode",
+    # lexical, multimodal, text/quality, urls (MM1's byte-meta check and
+    # MM2's single-codec row sit past the window: MM_decode_suite covers
+    # every decoder at 2000 rows, so the multimodal family stays hash-graded)
+    "L1_ttr_features", "L2_pos_lexical",
     "MM_decode_suite", "T_doc_profile", "T4_winnowing", "T6_pii_scrub",
     "QF_doc_quality", "QF2_source_rollup", "QF4_model_quality",
     "U1_url_canonical",
@@ -829,6 +830,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.round(c, 9).alias(c)
               for c in ["ttr", "msttr", "cttr", "rttr", "logttr", "uber"]])
     q["L1_ttr_features"] = l1_ttr
+
+    def l2_pos_lexical(spark, sf_dir):
+        # POS-dependent lexical features (parsers/lexical/stanford.py:177-302)
+        # over the deterministic rule-table tagger — the full chain
+        # text -> tag -> 32 features, cross-engine checkable because the
+        # tagger emits identical Spark Columns and DuckDB SQL from one table
+        from pysemanticcomplexity_spark.operators.pos_lexical import (
+            pos_tag, pos_lexical_features)
+        d = _docs(spark, sf_dir).select(F.col("doc_id"), "text")
+        feats = pos_lexical_features(pos_tag(d))
+        int_cols = ["sentences", "wordtypes", "swordtypes", "lextypes",
+                    "slextypes", "wordtokens", "swordtokens", "lextokens",
+                    "slextokens", "ndw", "ndwz"]
+        dbl_cols = ["ld", "ls1", "ls2", "vs1", "vs2", "cvs1", "ttr",
+                    "msttr", "cttr", "rttr", "logttr", "uber", "lv", "vv1",
+                    "svv1", "cvv1", "vv2", "nv", "adjv", "advv", "modv"]
+        return feats.select(
+            "id", *int_cols,
+            *[F.round(c, 9).alias(c) for c in dbl_cols])
+    q["L2_pos_lexical"] = l2_pos_lexical
 
     def mm1_meta(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -2766,6 +2787,148 @@ SELECT id, CAST(n AS BIGINT) AS wordtokens, CAST(types AS BIGINT) AS wordtypes,
        round(CASE WHEN n > 1 AND types < n
                   THEN (log10(CAST(n AS DOUBLE)) * log10(CAST(n AS DOUBLE)))
                        / log10(CAST(n AS DOUBLE) / types) END, 9) AS uber
+FROM m
+"""
+
+    # L2: the full POS-lexical chain (deterministic rule-table tagger ->
+    # stanford.py:177-302 feature pass).  The tagger CASE and the be/have/do
+    # lemma map are GENERATED from the same rule table the Spark Columns are
+    # built from (operators/pos_lexical.py) — cross-engine identity by
+    # construction; the word-rank / adjective dictionaries are inlined as
+    # IN-lists (bounded dimensions, same values broadcast on the Spark side).
+    from pysemanticcomplexity_spark.operators.pos_lexical import (
+        tagger_sql as _l2_tagger_sql, lemma_sql as _l2_lemma_sql,
+        top_frequent as _l2_top_frequent, _sql_in as _l2_sql_in,
+        DEFAULT_WORD_FREQ as _L2_FREQ, DEFAULT_ADJ_WORDS as _L2_ADJ,
+        TOKEN_RE as _L2_TOKEN_RE, SENTENCE_SPLIT_RE as _L2_SENT_RE)
+    _l2_freq_in = _l2_sql_in(_l2_top_frequent(_L2_FREQ))
+    _l2_adj_in = _l2_sql_in(_L2_ADJ)
+    o["L2_pos_lexical"] = f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         str_split_regex(lower(text), '{_L2_SENT_RE}') AS arr
+  FROM documents),
+lines AS (
+  SELECT id, u.line_idx, arr[u.line_idx] AS line
+  FROM d, unnest(generate_series(1, len(arr))) u(line_idx)),
+lt AS (
+  SELECT id, line_idx, regexp_extract_all(line, '{_L2_TOKEN_RE}') AS t
+  FROM lines),
+toks AS (
+  SELECT id, line_idx, u.tok_idx, t[u.tok_idx] AS w
+  FROM lt, unnest(generate_series(1, len(t))) u(tok_idx)),
+tagged AS (
+  SELECT id, line_idx, tok_idx,
+         {_l2_lemma_sql('w')} AS word,
+         {_l2_tagger_sql('w')} AS pos
+  FROM toks),
+fl AS (
+  SELECT id, line_idx, tok_idx, word, pos,
+         word NOT IN {_l2_freq_in} AS soph,
+         pos LIKE 'n%' AS is_noun,
+         pos LIKE 'j%' AS is_adj,
+         (pos LIKE 'r%' AND (word IN {_l2_adj_in}
+            OR (word LIKE '%ly'
+                AND regexp_replace(word, 'ly$', '') IN {_l2_adj_in})))
+           AS is_adv,
+         (pos LIKE 'v%' AND word NOT IN ('be', 'have')) AS is_verb
+  FROM tagged),
+fx AS (
+  SELECT *, (is_noun OR is_adj OR is_adv OR is_verb) AS is_lex FROM fl),
+g AS (
+  SELECT id,
+    count(DISTINCT line_idx) AS sentences,
+    count(DISTINCT word) AS wordtypes,
+    count(DISTINCT CASE WHEN soph AND pos <> 'cd' THEN word END)
+      AS swordtypes,
+    count(DISTINCT CASE WHEN is_lex THEN word END) AS lextypes,
+    count(DISTINCT CASE WHEN is_lex AND soph THEN word END) AS slextypes,
+    count(*) AS wordtokens,
+    sum(CASE WHEN soph AND pos <> 'cd' THEN 1 ELSE 0 END) AS swordtokens,
+    sum(CASE WHEN is_lex THEN 1 ELSE 0 END) AS lextokens,
+    sum(CASE WHEN is_lex AND soph THEN 1 ELSE 0 END) AS slextokens,
+    count(DISTINCT CASE WHEN is_verb THEN word END) AS verbtypes,
+    sum(CASE WHEN is_verb THEN 1 ELSE 0 END) AS verbtokens,
+    count(DISTINCT CASE WHEN is_verb AND soph THEN word END) AS sverbtypes,
+    count(DISTINCT CASE WHEN is_adj THEN word END) AS adjtypes,
+    count(DISTINCT CASE WHEN is_adv THEN word END) AS advtypes,
+    count(DISTINCT CASE WHEN is_noun THEN word END) AS nountypes,
+    sum(CASE WHEN is_noun THEN 1 ELSE 0 END) AS nountokens,
+    list(word ORDER BY line_idx, tok_idx) AS lm
+  FROM fx GROUP BY id),
+m AS (
+  SELECT *,
+    CAST(floor(wordtokens / 50.0) AS BIGINT) AS blocks,
+    CASE WHEN wordtokens >= 50 THEN len(list_distinct(lm[1:50]))
+         ELSE wordtypes END AS ndwz,
+    CASE WHEN wordtokens >= 50 THEN
+           list_sum(list_transform(
+               generate_series(0, CAST(floor(wordtokens / 50.0) AS BIGINT) - 1),
+               bb -> len(list_distinct(lm[bb*50+1 : bb*50+50])) / 50.0))
+           / CAST(floor(wordtokens / 50.0) AS BIGINT)
+         WHEN wordtokens > 0
+           THEN CAST(wordtypes AS DOUBLE) / wordtokens END AS msttr
+  FROM g)
+SELECT id,
+  CAST(sentences AS BIGINT) AS sentences,
+  CAST(wordtypes AS BIGINT) AS wordtypes,
+  CAST(swordtypes AS BIGINT) AS swordtypes,
+  CAST(lextypes AS BIGINT) AS lextypes,
+  CAST(slextypes AS BIGINT) AS slextypes,
+  CAST(wordtokens AS BIGINT) AS wordtokens,
+  CAST(swordtokens AS BIGINT) AS swordtokens,
+  CAST(lextokens AS BIGINT) AS lextokens,
+  CAST(slextokens AS BIGINT) AS slextokens,
+  CAST(wordtypes AS BIGINT) AS ndw,
+  CAST(ndwz AS BIGINT) AS ndwz,
+  round(CASE WHEN wordtokens > 0
+             THEN CAST(lextokens AS DOUBLE) / wordtokens END, 9) AS ld,
+  round(CASE WHEN lextokens > 0
+             THEN CAST(slextokens AS DOUBLE) / lextokens END, 9) AS ls1,
+  round(CASE WHEN wordtypes > 0
+             THEN CAST(swordtypes AS DOUBLE) / wordtypes END, 9) AS ls2,
+  round(CASE WHEN verbtokens > 0
+             THEN CAST(sverbtypes AS DOUBLE) / verbtokens END, 9) AS vs1,
+  round(CASE WHEN verbtokens > 0
+             THEN CAST(sverbtypes * sverbtypes AS DOUBLE) / verbtokens END, 9)
+    AS vs2,
+  round(CASE WHEN verbtokens > 0
+             THEN sverbtypes / sqrt(2.0 * verbtokens) END, 9) AS cvs1,
+  round(CASE WHEN wordtokens > 0
+             THEN CAST(wordtypes AS DOUBLE) / wordtokens END, 9) AS ttr,
+  round(msttr, 9) AS msttr,
+  round(CASE WHEN wordtokens > 0
+             THEN wordtypes / sqrt(2.0 * wordtokens) END, 9) AS cttr,
+  round(CASE WHEN wordtokens > 0
+             THEN wordtypes / sqrt(CAST(wordtokens AS DOUBLE)) END, 9) AS rttr,
+  round(CASE WHEN wordtokens > 1
+             THEN ln(CAST(wordtypes AS DOUBLE))
+                  / ln(CAST(wordtokens AS DOUBLE)) END, 9) AS logttr,
+  round(CASE WHEN wordtokens > 1 AND wordtypes < wordtokens
+             THEN (log10(CAST(wordtokens AS DOUBLE))
+                   * log10(CAST(wordtokens AS DOUBLE)))
+                  / log10(CAST(wordtokens AS DOUBLE) / wordtypes) END, 9)
+    AS uber,
+  round(CASE WHEN lextokens > 0
+             THEN CAST(lextypes AS DOUBLE) / lextokens END, 9) AS lv,
+  round(CASE WHEN verbtokens > 0
+             THEN CAST(verbtypes AS DOUBLE) / verbtokens END, 9) AS vv1,
+  round(CASE WHEN verbtokens > 0
+             THEN CAST(verbtypes * verbtypes AS DOUBLE) / verbtokens END, 9)
+    AS svv1,
+  round(CASE WHEN verbtokens > 0
+             THEN verbtypes / sqrt(2.0 * verbtokens) END, 9) AS cvv1,
+  round(CASE WHEN lextokens > 0
+             THEN CAST(verbtypes AS DOUBLE) / lextokens END, 9) AS vv2,
+  round(CASE WHEN nountokens > 0
+             THEN CAST(nountypes AS DOUBLE) / nountokens END, 9) AS nv,
+  round(CASE WHEN lextokens > 0
+             THEN CAST(adjtypes AS DOUBLE) / lextokens END, 9) AS adjv,
+  round(CASE WHEN lextokens > 0
+             THEN CAST(advtypes AS DOUBLE) / lextokens END, 9) AS advv,
+  round(CASE WHEN lextokens > 0
+             THEN CAST(advtypes + adjtypes AS DOUBLE) / lextokens END, 9)
+    AS modv
 FROM m
 """
 

@@ -408,3 +408,167 @@ def run_reference_pipeline(pages: List[dict],
         triples |= graph_triples(url, g)
         vectors[url] = vectorize_graph(g)
     return concepts, info, triples, vectors
+
+
+# --------------------------------------------------------------------------
+# POS-dependent lexical features (parsers/lexical/stanford.py:113-302)
+# --------------------------------------------------------------------------
+
+import string as _string
+
+
+def _lex_is_letter_number(character: str) -> int:
+    # stanford.py:115-118
+    if (character in _string.printable
+            and character not in _string.punctuation):
+        return 1
+    return 0
+
+
+def _lex_is_sentence(line: str) -> int:
+    # stanford.py:119-124
+    for character in line:
+        if _lex_is_letter_number(character):
+            return 1
+    return 0
+
+
+def _lex_getndwfirstz(z, lemmalist):
+    # stanford.py:127-132
+    ndwfirstztype = {}
+    for lemma in lemmalist[:z]:
+        ndwfirstztype[lemma] = 1
+    return len(ndwfirstztype.keys())
+
+
+def _lex_getmsttr(z, lemmalist):
+    # stanford.py:159-171
+    samples = 0
+    msttr = 0.0
+    while len(lemmalist) >= z:
+        samples += 1
+        msttrtype = {}
+        for lemma in lemmalist[:z]:
+            msttrtype[lemma] = 1
+        msttr += len(msttrtype.keys()) / float(z)
+        lemmalist = lemmalist[z:]
+    return msttr / samples
+
+
+def pos_tags_to_complexity(line_generator: Iterable[str],
+                           wordranks: List[str],
+                           adjdict: Dict[str, int],
+                           word_rank_limit: int = 2000,
+                           sample_size_mini: int = 50) -> Dict[str, float]:
+    """Reference-faithful mirror of StanfordLexicalTransformer.
+    pos_tags_to_complexity (stanford.py:177-302) over lemma_pos lines.
+
+    Returns a name->value dict of the 32 deterministic features
+    (``ndwerz``/``ndwesz``, stanford.py:136-156, excluded: unseeded RNG).
+    Where the reference raises ZeroDivisionError (no words / no lexical
+    tokens / no verbs / no nouns / no sentences) or returns non-finite
+    values (uber at types==tokens, logttr at tokens==1), the affected
+    features are ``None`` — matching the engine's NULL policy.
+    """
+    frequent = wordranks[-word_rank_limit:] if word_rank_limit > 0 else []
+    wordtypes, swordtypes = {}, {}
+    lextypes, slextypes = {}, {}
+    verbtypes, sverbtypes = {}, {}
+    adjtypes, advtypes, nountypes = {}, {}, {}
+    wordtokens = swordtokens = lextokens = slextokens = 0
+    verbtokens = nountokens = 0
+    sentences = 0
+    lemmalist: List[str] = []
+
+    for lemline in line_generator:
+        lemline = lemline.strip().lower()
+        if not _lex_is_sentence(lemline):
+            continue
+        sentences += 1
+        for lemma in lemline.split():
+            word = lemma.split("_")[0]
+            pos = lemma.split("_")[-1]
+            if (pos not in _string.punctuation) and pos != "sent" \
+                    and pos != "sym":
+                lemmalist.append(word)
+                wordtokens += 1
+                wordtypes[word] = 1
+                if (word not in frequent) and pos != "cd":
+                    swordtypes[word] = 1
+                    swordtokens += 1
+                if pos[0] == "n":
+                    lextypes[word] = 1
+                    nountypes[word] = 1
+                    lextokens += 1
+                    nountokens += 1
+                    if word not in frequent:
+                        slextypes[word] = 1
+                        slextokens += 1
+                elif pos[0] == "j":
+                    lextypes[word] = 1
+                    adjtypes[word] = 1
+                    lextokens += 1
+                    if word not in frequent:
+                        slextypes[word] = 1
+                        slextokens += 1
+                elif pos[0] == "r" and (
+                        word in adjdict
+                        or (word[-2:] == "ly" and word[:-2] in adjdict)):
+                    lextypes[word] = 1
+                    advtypes[word] = 1
+                    lextokens += 1
+                    if word not in frequent:
+                        slextypes[word] = 1
+                        slextokens += 1
+                elif pos[0] == "v" and word not in ["be", "have"]:
+                    verbtypes[word] = 1
+                    verbtokens += 1
+                    lextypes[word] = 1
+                    lextokens += 1
+                    if word not in frequent:
+                        sverbtypes[word] = 1
+                        slextypes[word] = 1
+                        slextokens += 1
+
+    def div(num, den):
+        return num / float(den) if den else None
+
+    z = sample_size_mini
+    nw, nt = wordtokens, len(wordtypes)
+    ndw = ndwz = nt
+    if len(lemmalist) >= z:
+        ndwz = _lex_getndwfirstz(z, lemmalist)
+    ttr = msttr = div(nt, nw)
+    if len(lemmalist) >= z:
+        msttr = _lex_getmsttr(z, lemmalist)
+    cttr = nt / np.sqrt(2.0 * nw) if nw else None
+    rttr = nt / np.sqrt(float(nw)) if nw else None
+    logttr = float(np.log(nt) / np.log(nw)) if nw > 1 else None
+    uber = (float((np.log10(nw) * np.log10(nw)) / np.log10(nw / float(nt)))
+            if nw > 1 and nt < nw else None)
+    return {
+        "sentences": sentences, "wordtypes": nt,
+        "swordtypes": len(swordtypes), "lextypes": len(lextypes),
+        "slextypes": len(slextypes), "wordtokens": nw,
+        "swordtokens": swordtokens, "lextokens": lextokens,
+        "slextokens": slextokens,
+        "ld": div(lextokens, nw),
+        "ls1": div(slextokens, lextokens),
+        "ls2": div(len(swordtypes), nt),
+        "vs1": div(len(sverbtypes), verbtokens),
+        "vs2": div(len(sverbtypes) ** 2, verbtokens),
+        "cvs1": (len(sverbtypes) / np.sqrt(2.0 * verbtokens)
+                 if verbtokens else None),
+        "ndw": ndw, "ndwz": ndwz, "ttr": ttr, "msttr": msttr,
+        "cttr": cttr, "rttr": rttr, "logttr": logttr, "uber": uber,
+        "lv": div(len(lextypes), lextokens),
+        "vv1": div(len(verbtypes), verbtokens),
+        "svv1": div(len(verbtypes) ** 2, verbtokens),
+        "cvv1": (len(verbtypes) / np.sqrt(2.0 * verbtokens)
+                 if verbtokens else None),
+        "vv2": div(len(verbtypes), lextokens),
+        "nv": div(len(nountypes), nountokens),
+        "adjv": div(len(adjtypes), lextokens),
+        "advv": div(len(advtypes), lextokens),
+        "modv": div(len(advtypes) + len(adjtypes), lextokens),
+    }
