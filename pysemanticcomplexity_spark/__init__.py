@@ -55,6 +55,27 @@ PRED_HAS_TYPE = "hasType"
 PRED_SUBCLASS_OF = "subClassOf"
 
 
+def feature_columns(namespaces=None):
+    """FEATURE_COLUMNS restricted to a managed-namespace subset.
+
+    Mirrors the reference's ``graphs2vectors -on`` behaviour
+    (subprograms/graphs2vectors.py:26-47, minus its latent dict-unpack bug):
+    the 19 global columns are always present; per-namespace (nbNodes_<ns>,
+    density_<ns>) pairs appear only for the selected namespaces, in managed
+    insertion order."""
+    if namespaces is None:
+        return list(FEATURE_COLUMNS)
+    unknown = [k for k in namespaces if k not in MANAGED_NAMESPACES]
+    if unknown:
+        raise ValueError(f"unknown namespace key(s) {unknown}; "
+                         f"expected a subset of {list(MANAGED_NAMESPACES)}")
+    cols = FEATURE_COLUMNS[:19]
+    for key in MANAGED_NAMESPACES:        # keep canonical order, not arg order
+        if key in namespaces:
+            cols += [f"nbNodes_{key}", f"density_{key}"]
+    return cols
+
+
 def __getattr__(name):
     # lazy convenience exports (avoid importing pyspark at package import)
     if name == "KGPipeline":

@@ -101,6 +101,22 @@ def main(argv=None):
         p.add_argument("--instance-types", dest="instance_types",
                        help="parquet of (uri, type_uri) rows")
         p.add_argument("--kb", help="parquet of (subj, pred, obj) KB triples")
+        if name == "graphs2vectors":
+            # reference `-on/--ontology` (subprograms/graphs2vectors.py:26,
+            # minus its latent dict-unpack bug); --ontology here already
+            # names the edges parquet, so the filter is -on/--namespace
+            p.add_argument("-on", "--namespace", action="append",
+                           dest="namespace", metavar="KEY",
+                           help="restrict per-namespace feature columns to "
+                                "these managed-namespace keys (repeatable; "
+                                "default: all)")
+        if name == "texts2vectors":
+            # reference `-f/--force` (subprograms/texts2concepts.py:32):
+            # ignore existing per-bucket outputs and recompute everything
+            p.add_argument("-f", "--force", action="store_true",
+                           help="recompute all buckets even if a previous "
+                                "run left committed outputs (disables "
+                                "lineage resume)")
     args = ap.parse_args(argv)
 
     spark, preexisting = _spark(args)
@@ -122,7 +138,8 @@ def main(argv=None):
         from .pipeline import KGPipeline
         pipe = KGPipeline(spark, d["gazetteer"], d["ontology"],
                           d["instance_types"], d["kb"])
-        pipe.run_and_write(read_pages(spark, src), out, n_buckets=args.buckets)
+        pipe.run_and_write(read_pages(spark, src), out, n_buckets=args.buckets,
+                           resume=not args.force)
 
     elif args.cmd == "texts2concepts":
         src, out = args.paths
@@ -163,8 +180,10 @@ def main(argv=None):
         triples = tables.read_table(spark, src + "/triples")
         nodes = tables.read_table(spark, src + "/nodes")
         doc_words = spark.read.parquet(src + "/doc_words")
-        feats = vectorize.vectorize(nodes, triples, doc_words)
-        tables.write_features_csv(feats, out)
+        from . import feature_columns
+        ns = args.namespace or None
+        feats = vectorize.vectorize(nodes, triples, doc_words, namespaces=ns)
+        tables.write_features_csv(feats, out, columns=feature_columns(ns))
 
     elif args.cmd == "printgraph":
         # reference subprograms/printGraph.py equivalent: dump one document's

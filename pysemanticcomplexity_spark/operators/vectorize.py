@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 from .. import FEATURE_COLUMNS, MANAGED_NAMESPACES, PRED_SUBCLASS_OF, VIRTUAL_ROOT
@@ -49,9 +50,21 @@ def pack_graph(nodes: DataFrame, triples: DataFrame) -> DataFrame:
 
 
 def vectorize(nodes: DataFrame, triples: DataFrame,
-              doc_words: DataFrame) -> DataFrame:
+              doc_words: DataFrame,
+              namespaces: dict = None) -> DataFrame:
     """Feature table: one row per url in ``doc_words`` (zero-mention documents
-    get the empty-graph vector), columns = FEATURE_COLUMNS."""
+    get the empty-graph vector), columns = FEATURE_COLUMNS.
+
+    ``namespaces`` restricts the per-namespace column pairs to a subset of
+    MANAGED_NAMESPACES keys (reference ``graphs2vectors -on``,
+    subprograms/graphs2vectors.py:26-47); None = all three."""
+    from .. import MANAGED_NAMESPACES as _ALL_NS, feature_columns
+    cols = feature_columns(namespaces)
+    ns_dict = (None if namespaces is None
+               else {k: _ALL_NS[k] for k in _ALL_NS if k in namespaces})
+    schema = T.StructType(
+        [T.StructField("filename", T.StringType(), False)]
+        + [T.StructField(c, T.DoubleType(), True) for c in cols[1:]])
     packed = pack_graph(nodes, triples)
 
     def compute(key, graph_pdf: pd.DataFrame, words_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -82,8 +95,9 @@ def vectorize(nodes: DataFrame, triples: DataFrame,
             nb_links_out=f64(npdf["nb_links_out"]),
             edges=list(zip(epdf["a"], epdf["b"])),
             nb_words=nb_words,
+            namespaces=ns_dict,
         )
-        return pd.DataFrame([[url] + feats], columns=FEATURE_COLUMNS)
+        return pd.DataFrame([[url] + feats], columns=cols)
 
     # rename the right-side key: both inputs share lineage (same annotator
     # output), and identical attribute ids trip the ambiguous-self-join check
@@ -91,7 +105,7 @@ def vectorize(nodes: DataFrame, triples: DataFrame,
                               F.col("nb_words").alias("nb_words")))
     return (packed.groupBy("url")
             .cogroup(words.groupBy("url_w"))
-            .applyInPandas(compute, schema=schemas.FEATURES))
+            .applyInPandas(compute, schema=schema))
 
 
 def features_df_only(nodes: DataFrame, triples: DataFrame,

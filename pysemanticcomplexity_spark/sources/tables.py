@@ -53,9 +53,13 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("bucket")
 
 
-def write_features_csv(features: DataFrame, path: str) -> None:
+def write_features_csv(features: DataFrame, path: str,
+                       columns=None) -> None:
     """S5: single CSV with the exact reference column order
-    (text2vectors.py:91 pandas to_csv equivalent)."""
+    (text2vectors.py:91 pandas to_csv equivalent).
+
+    ``columns`` defaults to the full 25-column order; namespace-restricted
+    runs (graphs2vectors -on) pass ``feature_columns(namespaces)``."""
     from .. import FEATURE_COLUMNS
-    features.select(*FEATURE_COLUMNS).coalesce(1) \
+    features.select(*(columns or FEATURE_COLUMNS)).coalesce(1) \
         .write.mode("overwrite").option("header", True).csv(path)

@@ -115,3 +115,80 @@ def test_cli_accepts_parquet_dimension_overrides(spark, tmp_path):
               "--gazetteer", gaz_path, "--buckets", "4"])
     got = spark.read.parquet(out)
     assert got.count() > 0
+
+
+def test_graphs2vectors_namespace_flag(spark, dims, tmp_path, pages60_df):
+    """`graphs2vectors -on <ns>` (reference subprograms/graphs2vectors.py:26)
+    restricts the CSV to the 19 global columns + the selected namespace
+    pairs, with values equal to the unrestricted run's columns."""
+    from pysemanticcomplexity_spark import cli, feature_columns, fixtures
+    from pysemanticcomplexity_spark.pipeline import KGPipeline
+    from pysemanticcomplexity_spark.sources import tables
+    from pysemanticcomplexity_spark.operators import graph
+
+    pipe = KGPipeline(spark, fixtures.gazetteer(), fixtures.ontology_edges(),
+                      dims["instance_types"], dims["kb_triples"])
+    res = pipe.run(pages60_df)
+    g_dir = str(tmp_path / "graphs")
+    tables.write_table(res.triples, g_dir + "/triples", n_buckets=4)
+    tables.write_table(res.nodes, g_dir + "/nodes", n_buckets=4)
+    res.doc_words.write.parquet(g_dir + "/doc_words")
+
+    v_all = str(tmp_path / "v_all")
+    v_sub = str(tmp_path / "v_sub")
+    cli.main(["graphs2vectors", g_dir, v_all])
+    cli.main(["graphs2vectors", g_dir, v_sub, "-on", "Schema", "-on", "yago"])
+
+    cols = feature_columns(["Schema", "yago"])
+    sub = spark.read.option("header", True).csv(v_sub)
+    assert sub.columns == cols
+    assert "nbNodes_DBPedia" not in sub.columns
+    full = {r["filename"]: r
+            for r in spark.read.option("header", True).csv(v_all).collect()}
+    rows = sub.collect()
+    assert len(rows) == len(full) > 0
+    for r in rows:
+        f = full[r["filename"]]
+        for c in cols[1:]:
+            a = float(r[c]) if r[c] not in (None, "") else None
+            b = float(f[c]) if f[c] not in (None, "") else None
+            a_und = a is None or math.isnan(a)
+            b_und = b is None or math.isnan(b)
+            assert (a_und and b_und) or abs(a - b) < 1e-9, \
+                (r["filename"], c, a, b)
+
+
+def test_texts2vectors_force_flag(spark, tmp_path):
+    """`-f/--force` (reference subprograms/texts2concepts.py:32) disables
+    lineage resume: a rerun over a completed output recomputes rather than
+    short-circuiting, and the output stays correct."""
+    from pysemanticcomplexity_spark import cli, fixtures
+
+    pages_dir = str(tmp_path / "pages")
+    fixtures.spark_pages(spark, 12).write.parquet(pages_dir)
+    out = str(tmp_path / "out")
+    cli.main(["texts2vectors", pages_dir, out, "--buckets", "4",
+              "--fixtures"])
+    t1 = {tuple(r) for r in
+          spark.read.parquet(out + "/triples")
+          .select("url", "subj", "pred", "obj").collect()}
+    assert len(t1) > 0
+    # delete one committed bucket's data while its lineage row still says
+    # "done": a resume rerun must skip it (rows stay missing), --force must
+    # rebuild it
+    import glob as _glob
+    import shutil
+    victim = sorted(_glob.glob(out + "/triples/bucket=*"))[0]
+    shutil.rmtree(victim)
+    cli.main(["texts2vectors", pages_dir, out, "--buckets", "4",
+              "--fixtures"])
+    resumed = {tuple(r) for r in
+               spark.read.parquet(out + "/triples")
+               .select("url", "subj", "pred", "obj").collect()}
+    assert resumed < t1          # resume honored lineage: bucket not rebuilt
+    cli.main(["texts2vectors", pages_dir, out, "--buckets", "4",
+              "--fixtures", "--force"])
+    t2 = {tuple(r) for r in
+          spark.read.parquet(out + "/triples")
+          .select("url", "subj", "pred", "obj").collect()}
+    assert t2 == t1

@@ -209,3 +209,39 @@ def test_disconnected_graph_raises_like_oracle():
         R.vectorize_graph(g)
     with pytest.raises(ValueError, match="disconnected"):
         _kernel_vector(g)
+
+
+def test_feature_columns_subset():
+    """feature_columns mirrors reference graphs2vectors -on semantics
+    (subprograms/graphs2vectors.py:26-47): 19 global columns always, then
+    (nbNodes_<ns>, density_<ns>) pairs in canonical managed order regardless
+    of argument order; unknown keys fail loudly."""
+    import pytest
+    from pysemanticcomplexity_spark import (FEATURE_COLUMNS, feature_columns)
+    assert feature_columns() == list(FEATURE_COLUMNS)
+    assert feature_columns(["Schema", "DBPedia"]) == (
+        FEATURE_COLUMNS[:19]
+        + ["nbNodes_DBPedia", "density_DBPedia",
+           "nbNodes_Schema", "density_Schema"])
+    assert feature_columns([]) == FEATURE_COLUMNS[:19]
+    with pytest.raises(ValueError, match="dbo"):
+        feature_columns(["dbo"])
+
+
+def test_vectorize_namespace_subset(spark, pipeline_result):
+    """vectorize(namespaces=[...]) == column projection of the full run:
+    global features are namespace-independent and the kept per-namespace
+    pairs are computed on the same subgraphs."""
+    from pysemanticcomplexity_spark import feature_columns
+    from pysemanticcomplexity_spark.operators import vectorize as V
+    cols = feature_columns(["yago"])
+    sub = V.vectorize(pipeline_result.nodes, pipeline_result.triples,
+                      pipeline_result.doc_words, namespaces=["yago"])
+    assert sub.columns == cols
+    full = {r["filename"]: r for r in pipeline_result.features.collect()}
+    rows = sub.collect()
+    assert len(rows) == len(full)
+    for r in rows:
+        f = full[r["filename"]]
+        for c in cols[1:]:
+            assert _close(r[c], f[c], 1e-12), (r["filename"], c, r[c], f[c])
