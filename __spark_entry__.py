@@ -192,7 +192,7 @@ DRIVER_WINDOW = [
     # every decoder at 2000 rows, so the multimodal family stays hash-graded)
     "L1_ttr_features", "L2_pos_lexical",
     "MM_decode_suite", "T_doc_profile", "T4_winnowing", "T6_pii_scrub",
-    "QF_doc_quality", "QF2_source_rollup", "QF4_model_quality",
+    "QF_doc_quality", "L3_syntactic", "QF4_model_quality",
     "U1_url_canonical",
 ]
 
@@ -850,6 +850,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", *int_cols,
             *[F.round(c, 9).alias(c) for c in dbl_cols])
     q["L2_pos_lexical"] = l2_pos_lexical
+
+    def l3_syntactic(spark, sf_dir):
+        # the 23 L2SCA syntactic-complexity features
+        # (parsers/syntactic/stanford.py:13-106) over the deterministic
+        # doc_id-derived template-tree corpus: the REAL Tregex-subset
+        # engine (tregex.py) runs in one mapInPandas; the oracle
+        # re-derives the node table from literals and re-implements all
+        # 13 patterns independently in SQL (recursive CTE for dominance)
+        from pysemanticcomplexity_spark.operators.syntactic import (
+            l3_template_features)
+        return l3_template_features(_docs(spark, sf_dir))
+    q["L3_syntactic"] = l3_syntactic
+
+    def l3b_syntactic_text(spark, sf_dir):
+        # full text -> deterministic approximate parse -> 23 features
+        # chain (stanfordSynLex.file_to_vector shape).  The chunker is a
+        # stateful per-sentence pass — not SQL-expressible, so this entry
+        # is rows-only; its semantics are pinned by tests
+        # (tests/test_syntactic.py golden trees + engine/SQL equality)
+        from pysemanticcomplexity_spark.operators.syntactic import (
+            text_syntactic_features)
+        return text_syntactic_features(_docs(spark, sf_dir))
+    q["L3b_syntactic_text"] = l3b_syntactic_text
 
     def mm1_meta(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -2930,6 +2953,48 @@ SELECT id,
              THEN CAST(advtypes + adjtypes AS DOUBLE) / lextokens END, 9)
     AS modv
 FROM m
+"""
+
+    # L3: the 23 L2SCA syntactic features over the doc_id-derived template
+    # corpus.  The node table is inlined as a VALUES literal (MM2 pattern;
+    # head flags pinned by the Collins golden tests) and the 13 Tregex
+    # patterns are re-implemented INDEPENDENTLY in SQL — hand-translated
+    # from the pattern strings, recursive CTE for dominance — so the two
+    # engines share nothing but the node table.  Ratios follow the
+    # reference's division() (0 on any zero operand, stanford.py:84-87).
+    from pysemanticcomplexity_spark.operators.syntactic import (
+        template_counts_sql as _l3_counts_sql)
+
+    def _l3_ratio(num: str, den: str, name: str) -> str:
+        return (f"round(CASE WHEN {num} = 0 OR {den} = 0 THEN 0.0 "
+                f"ELSE {num} * 1.0 / {den} END, 9) AS {name}")
+
+    _l3_ratios = ",\n  ".join(
+        _l3_ratio(n, d, a) for n, d, a in [
+            ("w", "s", "mls"), ("w", "t", "mlt"), ("w", "c", "mlc"),
+            ("c", "s", "c_s"), ("vp", "t", "vp_t"), ("c", "t", "c_t"),
+            ("dc", "c", "dc_c"), ("dc", "t", "dc_t"), ("t", "s", "t_s"),
+            ("ct", "t", "ct_t"), ("cp", "t", "cp_t"), ("cp", "c", "cp_c"),
+            ("cn", "t", "cn_t"), ("cn", "c", "cn_c")])
+    o["L3_syntactic"] = f"""
+WITH RECURSIVE {_l3_counts_sql()},
+assign AS (
+  SELECT d.doc_id AS id,
+         CAST((d.doc_id * 3 + g.j * 5) % 8 AS INTEGER) AS tmpl
+  FROM documents d, generate_series(0, 3) AS g(j)
+  WHERE g.j <= d.doc_id % 4),
+agg AS (
+  SELECT a.id,
+         CAST(sum(m.w) AS BIGINT) AS w, CAST(sum(m.s) AS BIGINT) AS s,
+         CAST(sum(m.vp) AS BIGINT) AS vp, CAST(sum(m.c) AS BIGINT) AS c,
+         CAST(sum(m.t) AS BIGINT) AS t, CAST(sum(m.dc) AS BIGINT) AS dc,
+         CAST(sum(m.ct) AS BIGINT) AS ct, CAST(sum(m.cp) AS BIGINT) AS cp,
+         CAST(sum(m.cn) AS BIGINT) AS cn
+  FROM assign a JOIN merged m ON m.tmpl = a.tmpl
+  GROUP BY a.id)
+SELECT id, w, s, vp, c, t, dc, ct, cp, cn,
+  {_l3_ratios}
+FROM agg
 """
 
     # ---- sketch-family oracles (generated SQL sharing the Spark constants)

@@ -87,7 +87,8 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, nargs in [("texts2vectors", 2), ("texts2concepts", 2),
                         ("concepts2info", 2), ("concepts2graphs", 3),
-                        ("graphs2vectors", 2), ("printgraph", 2)]:
+                        ("graphs2vectors", 2), ("printgraph", 2),
+                        ("texts2synlexvectors", 2)]:
         p = sub.add_parser(name)
         p.add_argument("paths", nargs=nargs)
         p.add_argument("--buckets", type=int, default=64)
@@ -130,7 +131,8 @@ def main(argv=None):
               "texts2concepts": ("gazetteer",),
               "concepts2info": ("instance_types", "kb"),
               "concepts2graphs": ("ontology",),
-              "graphs2vectors": (), "printgraph": ()}[args.cmd]
+              "graphs2vectors": (), "printgraph": (),
+              "texts2synlexvectors": ()}[args.cmd]
     d = _dims(spark, args, *needed)
 
     if args.cmd == "texts2vectors":
@@ -184,6 +186,17 @@ def main(argv=None):
         ns = args.namespace or None
         feats = vectorize.vectorize(nodes, triples, doc_words, namespaces=ns)
         tables.write_features_csv(feats, out, columns=feature_columns(ns))
+
+    elif args.cmd == "texts2synlexvectors":
+        # reference subprograms/texts2synLexVectors.py:35-46: texts ->
+        # one CSV of 23 syntactic + 32 deterministic lexical features
+        # (the two unseeded-random ndw-variants excluded by design; -nc/
+        # --mem-* java flags have no Spark equivalent — parallelism and
+        # memory come from the session)
+        src, out = args.paths
+        from .operators.syntactic import SYNLEX_CSV_COLUMNS, synlex_vectors
+        feats = synlex_vectors(read_pages(spark, src))
+        tables.write_features_csv(feats, out, columns=SYNLEX_CSV_COLUMNS)
 
     elif args.cmd == "printgraph":
         # reference subprograms/printGraph.py equivalent: dump one document's

@@ -28,10 +28,12 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_key_has_query():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_).issubset(set(qs))
-    # non-SQL ops are the only omissions
+    # non-SQL ops are the only omissions (the stateful chunker-parser of
+    # L3b is not SQL-expressible; its Tregex engine is hash-covered by
+    # the in-window L3_syntactic oracle)
     rows_only = set(qs) - set(os_)
     assert rows_only == {"KG_pipeline_triples", "KG_pipeline_features",
-                         "KG_pipeline_triples_fused"}
+                         "KG_pipeline_triples_fused", "L3b_syntactic_text"}
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
@@ -64,9 +66,11 @@ def test_driver_window_contract():
     assert rows_only == {"KG_pipeline_triples", "KG_pipeline_features",
                          "KG_pipeline_triples_fused"}
     prefixes = {"P", "S7", "A", "G", "M", "KG", "D", "S1", "S2", "S3",
-                "C", "E2E", "L1", "MM", "T", "QF"}
+                "C", "E2E", "L1", "L2", "L3", "MM", "T", "QF"}
     for p in prefixes:
         assert any(k.startswith(p) for k in E.DRIVER_WINDOW), p
     # everything past the window is still oracle-checkable (self-check) —
-    # these are the relational demos and the suite members
-    assert all(k in os_ for k in keys[50:])
+    # the relational demos and the suite members — except the documented
+    # rows-only text->approximate-parse chain, whose Tregex engine is
+    # hash-covered by the in-window L3_syntactic oracle
+    assert {k for k in keys[50:] if k not in os_} == {"L3b_syntactic_text"}
