@@ -1926,7 +1926,7 @@ nbw AS (
 -- (str_split_regex on the token regex) and i-1 tokens
 tu AS (
   SELECT doc_id, pid, g.i, length(p.seps[g.i]) AS sl, length(p.toks[g.i]) AS tl
-  FROM (SELECT doc_id, pid, toks, str_split_regex(para, '\w+') AS seps
+  FROM (SELECT doc_id, pid, toks, str_split_regex(para, '\\w+') AS seps
         FROM ptoks) p,
        UNNEST(generate_series(1, len(p.toks))) AS g(i)),
 toffs AS (

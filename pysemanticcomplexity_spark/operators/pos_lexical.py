@@ -444,31 +444,48 @@ def pos_lexical_features(tagged: DataFrame,
     is_verb = kp & pos.startswith("v") & ~word.isin("be", "have")
     is_lex = is_noun | is_adj | is_adv | is_verb
 
-    def cd(cond):      # conditional count-distinct over words
-        return F.count_distinct(F.when(cond, word))
+    # Scale shape: the naive single groupBy(id) with 12 conditional
+    # count-distincts plans an Expand node (one input copy per distinct
+    # group -> ~13x shuffle volume) plus SortAggregate for the ordered
+    # collect_list.  Instead the distinct counts are rewritten as a
+    # two-phase hash aggregation: per-(id, word) bool_or flags + token
+    # sums (a word counts toward a *type* iff ANY of its tokens meets the
+    # condition, which is exactly count_distinct(when(cond, word))), then
+    # per-id sums of flags — all partial-aggregated map-side, shuffle
+    # carries one row per distinct (id, word), no Expand.  The ordered
+    # kept-word list (positional features) and the single sentences
+    # distinct live in their own branch; both branches hash-partition by
+    # id so the final join adds no shuffle beyond theirs.
+    type_conds = [
+        ("wordtypes", kp, True),
+        ("swordtypes", soph & (pos != "cd"), True),
+        ("lextypes", is_lex, True),
+        ("slextypes", is_lex & soph, True),
+        ("verbtypes", is_verb, True),
+        ("sverbtypes", is_verb & soph, True),
+        ("adjtypes", is_adj, True),
+        ("advtypes", is_adv, True),
+        ("nountypes", is_noun, True),
+        ("wordtokens", kp, False),
+        ("swordtokens", soph & (pos != "cd"), False),
+        ("lextokens", is_lex, False),
+        ("slextokens", is_lex & soph, False),
+        ("verbtokens", is_verb, False),
+        ("nountokens", is_noun, False),
+    ]
+    pre = t.groupBy("id", "word").agg(*[
+        (F.bool_or(cond) if is_type else F.sum(cond.cast("long")))
+        .alias(f"_{name}")
+        for name, cond, is_type in type_conds])
+    counts = pre.groupBy("id").agg(*[
+        F.sum(F.col(f"_{name}").cast("long")).alias(name)
+        for name, _cond, _ in type_conds])
 
-    def cnt(cond):
-        return F.sum(cond.cast("long"))
-
-    g = (t.groupBy("id").agg(
+    ordered = (t.groupBy("id").agg(
         F.count_distinct("line_idx").alias("sentences"),
-        cd(kp).alias("wordtypes"),
-        cd(soph & (pos != "cd")).alias("swordtypes"),
-        cd(is_lex).alias("lextypes"),
-        cd(is_lex & soph).alias("slextypes"),
-        cnt(kp).alias("wordtokens"),
-        cnt(soph & (pos != "cd")).alias("swordtokens"),
-        cnt(is_lex).alias("lextokens"),
-        cnt(is_lex & soph).alias("slextokens"),
-        cd(is_verb).alias("verbtypes"),
-        cnt(is_verb).alias("verbtokens"),
-        cd(is_verb & soph).alias("sverbtypes"),
-        cd(is_adj).alias("adjtypes"),
-        cd(is_adv).alias("advtypes"),
-        cd(is_noun).alias("nountypes"),
-        cnt(is_noun).alias("nountokens"),
         F.array_sort(F.collect_list(F.when(
             kp, F.struct("line_idx", "tok_idx", "word")))).alias("_lm")))
+    g = counts.join(ordered, "id")
     g = g.withColumn("_lm", F.transform("_lm", lambda s: s["word"]))
 
     n = F.col("wordtokens")

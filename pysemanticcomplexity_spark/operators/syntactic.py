@@ -34,6 +34,7 @@ cross-engine check of the pattern matcher.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
@@ -71,9 +72,12 @@ _SENT_PAT = re.compile(SENTENCE_SPLIT_RE)
 # plain-Python interpretation of the shared L2 rule table (single source
 # of truth with pos_tag's Spark Columns and tagger_sql's DuckDB CASE)
 
+@lru_cache(maxsize=65536)
 def tag_word(w: str) -> str:
     """The rule-table tag (lowercase) of one ``[a-z0-9]+`` token —
-    byte-identical semantics to ``pos_lexical._tag_column``."""
+    byte-identical semantics to ``pos_lexical._tag_column``.  Pure in
+    the word, so memoized (bounded) — real corpora are Zipfian and the
+    rule scan dominates the chunker otherwise."""
     for kind, arg, tag in _TAG_RULES:
         if kind == "regex":
             if re.search(arg, w):

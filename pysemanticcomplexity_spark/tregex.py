@@ -68,10 +68,14 @@ class Node:
         return not self.children
 
     def descendants(self) -> Iterable["Node"]:
-        """Proper descendants, pre-order."""
-        for c in self.children:
-            yield c
-            yield from c.descendants()
+        """Proper descendants, pre-order (iterative: the matcher visits
+        every node under every candidate, so no yield-from chains)."""
+        stack = self.children[::-1]
+        while stack:
+            n = stack.pop()
+            yield n
+            if n.children:
+                stack.extend(n.children[::-1])
 
     def ancestors(self) -> Iterable["Node"]:
         n = self.parent
@@ -418,16 +422,16 @@ class TregexPattern:
         return hit != rel.neg
 
     @staticmethod
-    def _related(node: Node, op: str) -> Sequence[Node]:
+    def _related(node: Node, op: str) -> Iterable[Node]:
         kids = node.children
         if op == "<":
             return kids
         if op == ">":
             return [node.parent] if node.parent is not None else []
         if op == "<<":
-            return list(node.descendants())
+            return node.descendants()      # lazy: any() short-circuits
         if op == ">>":
-            return list(node.ancestors())
+            return node.ancestors()
         if op == "<,":
             return kids[:1]
         if op == "<-":
@@ -493,6 +497,14 @@ L2SCA_PATTERN_STRINGS = [
 
 L2SCA_PATTERNS = [TregexPattern(p) for p in L2SCA_PATTERN_STRINGS]
 
+# label -> [(pattern index, pattern)] dispatch: a node can only match a
+# pattern whose root label set contains its label, so the counting loop
+# tests ~1-2 patterns per node instead of all 13 (built once at import)
+_L2SCA_BY_LABEL: dict = {}
+for _i, _p in enumerate(L2SCA_PATTERNS):
+    for _lab in _p._root.labels:
+        _L2SCA_BY_LABEL.setdefault(_lab, []).append((_i, _p))
+
 # reference stanford.py:36 — counts terminals with an uppercase POS tag
 # over the Penn STRING (PRP$-style tags included; punctuation tags not).
 WORD_COUNT_RE = re.compile(r"\([A-Z]+\$? [^)(]+\)")
@@ -514,7 +526,17 @@ def syntactic_pattern_counts(trees: Sequence[Node]) -> List[int]:
     (stanford.py:73-78): CN = CN1+CN2+CN3, C += fragment clauses,
     T += fragment T-units, VP += VP2.  Returns [S, VP, C, T, DC, CT,
     CP, CN]."""
-    raw = [count_matches(trees, p) for p in L2SCA_PATTERNS]
+    # enumerate every node ONCE and dispatch by label: only patterns
+    # whose root label set contains the node's label are evaluated
+    # (same counts as matching all 13 per node; far less work in the
+    # mapInPandas hot loop)
+    raw = [0] * len(L2SCA_PATTERNS)
+    for root in trees:
+        for n in (root, *root.descendants()):
+            for i, p in _L2SCA_BY_LABEL.get(n.label, ()):
+                expr = p._root.expr
+                if expr is None or p._eval(n, expr):
+                    raw[i] += 1
     raw[7] = raw[7] + raw[8] + raw[9]
     raw[2] = raw[2] + raw[10]
     raw[3] = raw[3] + raw[11]

@@ -74,6 +74,21 @@ def test_sql_mention_model_single_codegen_stage(spark):
         "text" in plans.read_schema_of_scan(df)
 
 
+def test_syntactic_text_path_shuffle_free(spark):
+    """text_syntactic_features must stay scan -> ONE MapInPandas: zero
+    exchanges (row-local, streaming-legal) and no per-row Python UDF."""
+    from pysemanticcomplexity_spark.operators.syntactic import (
+        text_syntactic_features)
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It purred loudly."), (2, "Dogs bark.")],
+        "doc_id long, text string")
+    feats = text_syntactic_features(docs)
+    assert plans.count_shuffles(feats) == 0
+    plan = plans.executed_plan(feats)
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan     # no row-at-a-time Python
+
+
 def test_embedding_near_dups_no_second_vector_join(spark):
     """The LSH near-dup path must reuse lsh_topk's cosine (return_sim)
     rather than re-joining both vector tables: exactly ONE join in the
