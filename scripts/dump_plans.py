@@ -116,6 +116,27 @@ def main():
         fmt(q["C3_pack_sequences"](spark, sf))))
 
     sections.append((
+        "L2_pos_lexical (POS-dependent lexical features)",
+        "No Expand node: the 12 conditional count-distincts are rewritten "
+        "as bool_or type-flags + token sums per (id, word), then per-id "
+        "sums of flags — all HashAggregates with map-side partials, so "
+        "the shuffle carries one row per distinct (id, word) instead of "
+        "~13 copies of every token row. The ordered kept-word list "
+        "(positional features) and the single sentences count-distinct "
+        "live in their own branch; both branches hash-partition by id "
+        "before the final join. Dictionary joins are BroadcastHashJoins.",
+        fmt(q["L2_pos_lexical"](spark, sf))))
+
+    sections.append((
+        "L3b_syntactic_text (text -> trees -> 23 L2SCA features)",
+        "Row-local, streaming-legal: parquet scan (pruned to doc_id, "
+        "text) -> ONE MapInPandas -> project; zero Exchanges. All "
+        "parsing/matching cost is inside the kernel (label-dispatched "
+        "Tregex counting, iterative tree walks, memoized tagger), so the "
+        "plan is scan-bound and embarrassingly parallel at any scale.",
+        fmt(q["L3b_syntactic_text"](spark, sf))))
+
+    sections.append((
         "C2_stratified_sample (reproducible training mix)",
         "A pure Filter over the scan — zero Exchanges; the affine-finished "
         "poly hash and the stratum CASE both run inside WholeStageCodegen.",
