@@ -457,3 +457,26 @@ def test_synlex_vectors_and_cli(spark, tmp_path):
     lib = synlex_vectors(pages)
     assert lib.columns == SYNLEX_CSV_COLUMNS
     assert lib.count() == pages.count()
+
+
+def test_text_syntactic_features_streams(spark, tmp_path):
+    """Stateless row-local kernel => legal mid-stream with no watermark:
+    an AvailableNow drain over a file stream must produce exactly the
+    batch result (same pattern as the row-local contamination test)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog. It barked."),
+         (2, "Rain fell, and the river that ran south rose quickly."),
+         (3, None),
+         (4, "Stop.")],
+        "doc_id long, text string")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (text_syntactic_features(stream)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, text_syntactic_features(docs).collect()))
+    assert got == want
