@@ -163,21 +163,34 @@ def _pre(tag: str, word: str) -> Node:
 
 
 def _has_finite_vp(node: Node) -> bool:
-    if node.label == "VP":
-        h = head_child(node)
-        if h is not None and h.label in _FINITE:
-            return True
-    return any(_has_finite_vp(c) for c in node.children)
+    # iterative: coordination chains in run-on crawl text nest deeper
+    # than the Python recursion limit
+    stack = [node]
+    while stack:
+        nd = stack.pop()
+        if nd.label == "VP":
+            h = head_child(nd)
+            if h is not None and h.label in _FINITE:
+                return True
+        stack.extend(nd.children)
+    return False
 
 
 def _parse_chunks(toks: Sequence[Tuple[str, str]], top: bool) -> List[Node]:
     """One cascaded pass over (word, PennTag) pairs -> chunk list.
     SBAR opens at a non-initial wh-word/subordinator and consumes the
-    rest of the token stream (recursively), attaching into an open VP
-    when one precedes.  Documented approximation: no clause-boundary
-    detection beyond sentence splits."""
+    rest of the token stream, attaching into an open VP when one
+    precedes.  Nesting is handled with an explicit frame stack (not
+    Python recursion, which crawl junk full of subordinators would
+    overflow) producing the identical tree: each subordinator freezes
+    the enclosing clause's (chunks, open VP, opener) and starts a fresh
+    clause; the unwind at end-of-tokens folds each inner clause into an
+    SBAR emitted into its enclosing frame, innermost first.  Documented
+    approximation: no clause-boundary detection beyond sentence splits."""
     out: List[Node] = []
     open_vp: Optional[Node] = None
+    frames: List[Tuple[List[Node], Optional[Node], Node]] = []
+    clause_start = 0
     i = 0
     n = len(toks)
 
@@ -192,19 +205,16 @@ def _parse_chunks(toks: Sequence[Tuple[str, str]], top: bool) -> List[Node]:
 
     while i < n:
         w, tag = toks[i]
-        if i > 0 and (w in _WH_TAGS or w in _SUBORDINATORS):
-            inner = _parse_chunks(toks[i + 1:], top=False)
+        if i > clause_start and (w in _WH_TAGS or w in _SUBORDINATORS):
             if w in _WH_TAGS:
                 opener = Node("WHNP", [_pre(_WH_TAGS[w], w)])
             else:
                 opener = _pre("IN", w)
-            if inner:
-                sbar = Node("SBAR", [opener, Node("S", inner)])
-            else:
-                sbar = Node("SBAR", [opener])
-            emit(sbar, into_vp=True)
-            i = n
-            break
+            frames.append((out, open_vp, opener))
+            out, open_vp = [], None
+            clause_start = i + 1
+            i += 1
+            continue
         if tag in _VERB_TAGS:
             vg = [_pre(tag, w)]
             i += 1
@@ -264,24 +274,38 @@ def _parse_chunks(toks: Sequence[Tuple[str, str]], top: bool) -> List[Node]:
         emit(Node("NP", [_pre(tag, w)]), into_vp=True)
         i += 1
 
-    return _coordinate(out)
+    # unwind nested clauses: innermost chunks become (SBAR opener (S ...))
+    # emitted into the enclosing frame exactly as the recursive form did
+    chunks = _coordinate(out)
+    while frames:
+        out, open_vp, opener = frames.pop()
+        if chunks:
+            sbar = Node("SBAR", [opener, Node("S", chunks)])
+        else:
+            sbar = Node("SBAR", [opener])
+        emit(sbar, into_vp=True)
+        chunks = _coordinate(out)
+    return chunks
 
 
 def _coordinate(chunks: List[Node]) -> List[Node]:
     """Merge X CC X neighbours (same label in NP/VP/ADJP/ADVP) into a
-    coordinated phrase — the structure the CP pattern counts."""
-    changed = True
-    while changed:
-        changed = False
-        for k in range(len(chunks) - 2):
-            a, cc, b = chunks[k], chunks[k + 1], chunks[k + 2]
-            if (cc.label == "CC" and a.label == b.label
-                    and a.label in _COORD_LABELS):
-                merged = Node(a.label, [a, cc, b])
-                chunks = chunks[:k] + [merged] + chunks[k + 3:]
-                changed = True
-                break
-    return chunks
+    coordinated phrase — the structure the CP pattern counts.  Single
+    shift-reduce pass: reducing the top of the stack whenever the last
+    three items form X CC X yields the same left-nested tree as the
+    leftmost-first restart scan, in O(n) instead of O(n^2) (a run-on
+    crawl sentence can hold tens of thousands of conjuncts)."""
+    res: List[Node] = []
+    for c in chunks:
+        res.append(c)
+        while (len(res) >= 3 and res[-2].label == "CC"
+               and res[-1].label == res[-3].label
+               and res[-1].label in _COORD_LABELS):
+            b = res.pop()
+            cc = res.pop()
+            a = res.pop()
+            res.append(Node(a.label, [a, cc, b]))
+    return res
 
 
 def _clause_split(chunks: List[Node]) -> List[Node]:
@@ -466,14 +490,17 @@ def node_rows(tree_groups: Sequence[Sequence[Node]]
         counter = [0]
 
         def walk(node: Node, parent_id: Optional[int]) -> None:
-            nid = counter[0]
-            counter[0] += 1
-            head = (node.parent is not None
-                    and head_child(node.parent) is node)
-            rows.append((tmpl, nid, parent_id, node.idx, node.label,
-                         node.is_leaf, head))
-            for c in node.children:
-                walk(c, nid)
+            # iterative pre-order (deep trees exceed the recursion limit)
+            stack: List[Tuple[Node, Optional[int]]] = [(node, parent_id)]
+            while stack:
+                nd, pid = stack.pop()
+                nid = counter[0]
+                counter[0] += 1
+                head = (nd.parent is not None
+                        and head_child(nd.parent) is nd)
+                rows.append((tmpl, nid, pid, nd.idx, nd.label,
+                             nd.is_leaf, head))
+                stack.extend((c, nid) for c in reversed(nd.children))
 
         for root in trees:
             walk(root, None)

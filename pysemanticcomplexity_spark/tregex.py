@@ -135,10 +135,27 @@ def _rewire(node: Node) -> None:
 
 
 def to_penn(node: Node) -> str:
-    if node.is_leaf:
-        return node.label
-    return "(" + node.label + " " + \
-        " ".join(to_penn(c) for c in node.children) + ")"
+    # iterative (crawl junk can produce trees deeper than the Python
+    # recursion limit, e.g. one giant run-on coordination); emits the
+    # exact string of the recursive form
+    out: List[str] = []
+    stack: List = [node]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, str):
+            out.append(x)
+        elif x.is_leaf:
+            out.append(x.label)
+        else:
+            out.append("(" + x.label + " ")
+            items: List = []
+            for k, c in enumerate(x.children):
+                if k:
+                    items.append(" ")
+                items.append(c)
+            items.append(")")
+            stack.extend(reversed(items))
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

@@ -480,3 +480,20 @@ def test_text_syntactic_features_streams(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, text_syntactic_features(docs).collect()))
     assert got == want
+
+
+def test_pathological_runon_documents_do_not_recurse():
+    """Crawl junk regression: a single run-on sentence with thousands of
+    conjuncts (deep left-nested coordination) or subordinators (deep
+    SBAR nesting) must parse and featurize without Python recursion
+    (tree depth ~5000 >> the default recursion limit) and in ~linear
+    time (shift-reduce coordination, frame-stack SBAR unwind)."""
+    coord = ("the quick brown fox and " * 5000).rstrip()
+    feats = syntactic_features(det_parse(coord))
+    w, s, cp = feats[0], feats[1], feats[7]
+    assert (w, s, cp) == (25000.0, 1.0, 4999.0)
+
+    nested = ("he said that " * 3000) + "it rained"
+    feats = syntactic_features(det_parse(nested))
+    w, s, dc = feats[0], feats[1], feats[5]
+    assert (w, s, dc) == (9002.0, 1.0, 3000.0)
