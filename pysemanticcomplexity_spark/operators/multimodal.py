@@ -65,6 +65,26 @@ IMAGE_SCHEMA = T.StructType([
 ])
 
 
+# Decompression-bomb guard (the PIL MAX_IMAGE_PIXELS idea): a few crafted
+# header bytes can declare dimensions that demand a multi-GB raster
+# allocation (h*w from SOF/IHDR/image descriptor) long before any
+# data-length validation runs.  At crawl scale malformed binaries are
+# guaranteed, and an unguarded allocation either ooms the executor or
+# raises MemoryError, which the fake-fallback except clauses would not
+# catch — a task-killing DoS.  Every decoder validates declared dims
+# FIRST; the ValueError routes corrupt payloads to the documented fake
+# fallback instead.
+MAX_PIXELS = 1 << 27         # 134M px ≈ 536 MB RGBA — generous for docs
+
+
+def _check_dims(h: int, w: int) -> None:
+    if h < 0 or w < 0:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
+    if h * w > MAX_PIXELS:
+        raise ValueError(f"declared dimensions {w}x{h} exceed MAX_PIXELS="
+                         f"{MAX_PIXELS} (decompression-bomb guard)")
+
+
 def _decode_ppm(buf: bytes):
     """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + one whitespace
     byte + h*w*3 raw RGB bytes. Header comments ('#' to end of line, legal
@@ -89,6 +109,7 @@ def _decode_ppm(buf: bytes):
     if len(tokens) < 3:
         raise ValueError("PPM header truncated")
     w, h, maxval = tokens
+    _check_dims(h, w)
     pos += 1                                 # single whitespace after maxval
     if maxval > 255:                         # 2-byte BE samples -> high byte
         px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3 * 2,
@@ -121,6 +142,7 @@ def _decode_bmp(buf: bytes):
         raise NotImplementedError(
             "only uncompressed 8/24/32-bit BMP supported")
     top_down, h = h < 0, abs(h)
+    _check_dims(h, w)
     nbytes = bpp // 8
     row_size = (w * nbytes + 3) // 4 * 4
     rows = np.frombuffer(buf, np.uint8, count=row_size * h,
@@ -217,6 +239,7 @@ def _decode_png(buf: bytes):
         raise ValueError("PNG decode: missing IHDR/IDAT chunk")
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
+    _check_dims(h, w)
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None or not (depth in (8, 16)
@@ -369,6 +392,7 @@ def _gif_image_blocks(buf: bytes):
             raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
         left, top = le16(pos + 1), le16(pos + 3)
         ih, iw = le16(pos + 7), le16(pos + 5)
+        _check_dims(ih, iw)
         if left or top or iw != le16(6) or ih != le16(8):
             raise NotImplementedError(
                 "GIF frame does not cover the logical screen")
@@ -535,6 +559,7 @@ def _decode_jpeg(buf: bytes):
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            _check_dims(h, w)
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -843,7 +868,7 @@ def decode_images(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                     elif buf[:2] == b"\xff\xd8":
                         h, w, px = _decode_jpeg(buf)
                 except (ValueError, NotImplementedError,
-                        IndexError, zlib.error):
+                        IndexError, zlib.error, MemoryError):
                     if not fake:    # fake=True: corrupt/out-of-scope payloads
                         raise       # fall through to the plumbing fake
                     px = None
@@ -920,7 +945,7 @@ def frame_sample(df: DataFrame, bin_col: str = "payload", id_col: str = "id",
                             out["frame_hash"].append(fh)
                         continue
                     except (ValueError, NotImplementedError, IndexError,
-                            zlib.error):
+                            zlib.error, MemoryError):
                         if not fake:
                             raise
                 if not fake:

@@ -128,10 +128,15 @@ def parse_penn(text: str) -> List[Node]:
 
 
 def _rewire(node: Node) -> None:
-    for i, c in enumerate(node.children):
-        c.parent = node
-        c.idx = i
-        _rewire(c)
+    # iterative: parsed trees can be deeper than the recursion limit
+    # (e.g. a stored det_parse of one run-on crawl sentence)
+    stack = [node]
+    while stack:
+        nd = stack.pop()
+        for i, c in enumerate(nd.children):
+            c.parent = nd
+            c.idx = i
+        stack.extend(nd.children)
 
 
 def to_penn(node: Node) -> str:

@@ -1366,3 +1366,68 @@ def test_bmp_core_header_rejected_cleanly():
     buf = hdr + core + b"\0" * 24
     with _pytest.raises(NotImplementedError, match="BITMAPCOREHEADER"):
         _decode_bmp(buf)
+
+
+def _bomb_payloads():
+    """Crafted headers declaring multi-GB rasters with a few data bytes —
+    the crawl-scale decompression-bomb shapes the MAX_PIXELS guard must
+    reject before allocating (a 16-byte JPEG header used to demand a
+    ~10 GB numpy allocation, and MemoryError escaped the fake fallback)."""
+    import struct
+    import zlib as _z
+
+    def png_chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 6, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+           + png_chunk(b"IDAT", _z.compress(b"\x00" * 10))
+           + png_chunk(b"IEND", b""))
+
+    def jseg(marker, payload):
+        return b"\xff" + marker + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (b"\xff\xd8" + jseg(b"\xdb", b"\x00" + bytes([1] * 64))
+           + jseg(b"\xc0", struct.pack(">BHHB", 8, 60000, 60000, 1)
+                  + bytes([1, 0x11, 0]))
+           + jseg(b"\xc4", b"\x00" + bytes([0] * 15 + [1]) + b"\x00")
+           + jseg(b"\xc4", b"\x10" + bytes([0] * 15 + [1]) + b"\x00")
+           + jseg(b"\xda", b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+           + b"\x00\x00\x00\x00\xff\xd9")
+
+    gif = (b"GIF89a" + struct.pack("<HH", 60000, 60000) + bytes([0x80, 0, 0])
+           + bytes([255, 0, 0, 0, 255, 0])
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000) + b"\x00"
+           + b"\x02" + b"\x01\x44" + b"\x00" + b"\x3b")
+
+    bmp = (b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
+           + struct.pack("<IiiHH", 40, 60000, 60000, 1, 24)
+           + b"\x00" * 24 + b"\x00" * 20)
+
+    ppm = b"P6 60000 60000 255\n" + b"\x00" * 8
+    return {"png": png, "jpeg": jpg, "gif": gif, "bmp": bmp, "ppm": ppm}
+
+
+def test_dimension_bombs_rejected_before_allocation():
+    import pytest as _pytest
+    from pysemanticcomplexity_spark.operators.multimodal import (
+        _decode_bmp, _decode_gif, _decode_jpeg, _decode_png, _decode_ppm)
+    bombs = _bomb_payloads()
+    decoders = {"png": _decode_png, "jpeg": _decode_jpeg, "gif": _decode_gif,
+                "bmp": _decode_bmp, "ppm": _decode_ppm}
+    for fmt, dec in decoders.items():
+        with _pytest.raises(ValueError, match="MAX_PIXELS"):
+            dec(bombs[fmt])
+
+
+def test_dimension_bombs_fall_through_to_fake(spark):
+    """fake=True routes bomb payloads to the deterministic fake row
+    instead of killing the task."""
+    bombs = _bomb_payloads()
+    rows = [(i, p) for i, p in enumerate(bombs.values())]
+    blobs = spark.createDataFrame(rows, "id long, payload binary")
+    out = multimodal.decode_images(blobs, fake=True).collect()
+    assert len(out) == len(rows)            # every row survived
+    for r in out:
+        assert r["height"] is not None      # the fake fallback filled it

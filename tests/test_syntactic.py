@@ -497,3 +497,11 @@ def test_pathological_runon_documents_do_not_recurse():
     feats = syntactic_features(det_parse(nested))
     w, s, dc = feats[0], feats[1], feats[5]
     assert (w, s, dc) == (9002.0, 1.0, 3000.0)
+
+    # the penn-column path (parse once, store, compute) must survive the
+    # same depth: serialize -> reparse -> identical features
+    trees = det_parse(coord)
+    penn = "\n".join(to_penn(t) for t in trees)
+    back = parse_penn(penn)
+    assert syntactic_features(back, penn_text=penn) == \
+        syntactic_features(trees, penn_text=penn)
