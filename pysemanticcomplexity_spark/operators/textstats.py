@@ -221,7 +221,16 @@ def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
 # of the contract: email first (an address contains digit runs a later
 # pattern could half-eat), then SSN, then phone, then IPv4.
 PII_PATTERNS = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # bounded quantifiers, not +: the local-part class contains digits,
+    # dots, + and -, so an unbounded prefix made every start position in
+    # an adversarial run ("+1-"*n, "1."*n) eat O(n) before failing at @ —
+    # O(n^2) under Java's backtracking engine (~50 h for one crafted 1 MB
+    # doc).  RFC 5321 caps the local part at 64 and the domain at 255, so
+    # the bounds are semantics-preserving for every valid address and cap
+    # per-position work at a constant; an over-long local part redacts
+    # only its RFC-valid tail (the leaked prefix is not a valid address).
+    ("email", r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}",
+     "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     # optional +CC prefix matched for real (a '+' after whitespace has no
     # \b before it, so \b\+? never engaged — ADVICE r3); 1-3 digit country
@@ -290,22 +299,27 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         n_lines > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines) \
         .otherwise(0.0)
-    base = docs.select(F.col(id_col).alias("id"),
-                       n_lines.cast("long").alias("n_lines"),
-                       dup_frac.cast("double").alias("dup_line_frac"),
-                       F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN),
-                                            F.lit(0)).alias("_toks"))
-    idx = F.when(F.size("_toks") >= 2,
-                 F.sequence(F.lit(1), F.size("_toks") - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = base.select(
-        "id", "n_lines", "dup_line_frac",
-        F.aggregate("_toks", F.lit(0).cast("long"),
+    toks = F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN), F.lit(0))
+    # EVERY expensive expression (the char-count fold, the 2-gram array)
+    # is materialized as a column in the projection BELOW the explode.
+    # A non-attribute expression in the same select as a generator lands
+    # in the Project ABOVE the Generate and is re-evaluated once per
+    # OUTPUT row — the fold over n tokens ran n times, O(n^2): 240 s for
+    # ONE 150 KB doc of repeated tokens, where this shape takes 0.3 s.
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("long").alias("n_lines"),
+        dup_frac.cast("double").alias("dup_line_frac"),
+        F.aggregate(toks, F.lit(0).cast("long"),
                     lambda acc, x: acc + F.length(x)).alias("total_chars"),
-        F.explode_outer(F.transform(
-            idx, lambda i: F.concat_ws(" ", F.element_at("_toks", i),
-                                       F.element_at("_toks", i + 1))))
-        .alias("gram"))
+        F.when(F.size(toks) >= 2,
+               F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                          F.slice(toks, 2, F.size(toks) - 1),
+                          lambda a, b: F.concat_ws(" ", a, b)))
+         .otherwise(F.array().cast("array<string>")).alias("_two"))
+    grams = base.select(
+        "id", "n_lines", "dup_line_frac", "total_chars",
+        F.explode_outer("_two").alias("gram"))
     counted = (grams.groupBy("id", "n_lines", "dup_line_frac",
                              "total_chars", "gram")
                .agg(F.count(F.lit(1)).alias("cnt")))

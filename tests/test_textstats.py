@@ -262,3 +262,50 @@ def test_model_quality_kernels_identical(spark, docs):
     b = sorted(map(tuple,
                    model_quality_score(docs, kernel="gather").collect()))
     assert a == b
+
+
+def test_pii_scrub_adversarial_runs_are_linear(spark):
+    """ReDoS regression: the email class contains digits/./+/-, so an
+    unbounded local-part quantifier made every start position in a
+    crafted run eat O(n) before failing at '@' — O(n^2), ~50 h for one
+    1 MB doc.  With RFC-bounded quantifiers these 300 KB adversarial
+    docs must scrub in seconds (pre-fix this test effectively hangs),
+    and real addresses must still redact."""
+    from pysemanticcomplexity_spark.operators.textstats import pii_scrub
+    rows = [
+        (0, "+1-" * 100000),
+        (1, "1." * 150000),
+        (2, "a" * 150000 + "@" * 150000),
+        (3, "x" * 100 + "reach me at real.user+tag@example.org ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert got[0]["n_pii"] == 0
+    assert got[1]["n_email"] == 0          # "1."*n is IP-shaped, not email
+    assert got[1]["n_ipv4"] == 150000 // 4
+    assert got[2]["n_email"] == 0
+    assert got[3]["n_email"] == 1
+    assert "<EMAIL>" in got[3]["text"]
+    assert "real.user" not in got[3]["text"]
+    # an over-long local part redacts only its RFC-valid 64-char tail
+    long_local = "l" * 80 + "@d.com"
+    r = pii_scrub(spark.createDataFrame([(9, long_local)],
+                                        "doc_id long, text string")).collect()[0]
+    assert r["n_email"] == 1 and r["text"] == "l" * 16 + "<EMAIL>"
+
+
+def test_repetition_stats_adversarial_runs_are_linear(spark):
+    """Perf regression: an expensive expression placed in the same select
+    as explode() lands in the Project above the Generate and re-runs per
+    OUTPUT row — the total_chars fold over n tokens ran n times (O(n^2),
+    240 s for one 150 KB doc of repeated tokens).  All expensive columns
+    now materialize below the explode; this 600 KB doc (200k identical
+    tokens) must finish in seconds with exact counts."""
+    from pysemanticcomplexity_spark.operators.textstats import (
+        repetition_stats)
+    n = 200000
+    df = spark.createDataFrame([(0, "+1-" * n)], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["top_2gram_count"] == n - 1          # "1 1" everywhere
+    assert r["top_2gram_frac"] == pytest.approx((n - 1) * 2 / n)
+    assert r["n_lines"] == 1
