@@ -1942,10 +1942,15 @@ pbase AS (
               ORDER BY pid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
               0) AS BIGINT) AS base
   FROM ptoks),
--- A5 last-mention-wins doc offset per (url, uri)
+-- A5 last-mention-wins doc offset per (url, uri); the (pid, i) order key
+-- is a 128-bit shift (pid << 64 | i) — arg_max takes no struct key, and
+-- a BIGINT pid*K+i encoding would mis-order once a paragraph reaches K
+-- tokens (the old K=1e6 broke on a 1M-token run-on paragraph)
 lastoff AS (
   SELECT CAST(v.doc_id AS VARCHAR) AS url, v.uri,
-         CAST(arg_max(pb.base + t.ch, v.pid * 1000000 + v.i) AS DOUBLE) AS off
+         CAST(arg_max(pb.base + t.ch,
+                      CAST(v.pid AS HUGEINT) * 18446744073709551616 + v.i)
+              AS DOUBLE) AS off
   FROM vis v
   JOIN toffs t ON v.doc_id = t.doc_id AND v.pid = t.pid AND v.i = t.i
   JOIN pbase pb ON v.doc_id = pb.doc_id AND v.pid = pb.pid

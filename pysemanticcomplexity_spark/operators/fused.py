@@ -106,14 +106,31 @@ class DocAssembler:
     order of the original per-mention walk (sorted canon classes, closure
     nodes in walk order) so node indexing — and therefore every
     order-sensitive float reduction in compute_features — is unchanged.
+
+    Entries are built LAZILY on first lookup and memoized for the task's
+    lifetime: an eager build walks the closure for every gazetteer key up
+    front, which inverts the amortization for small tasks (a streaming
+    micro-batch of a handful of documents against a 100k-surface gazetteer
+    would pay 100k ontology walks to serve a few dozen distinct keys).
+    Large batch tasks converge to the same fully-built table either way.
     """
+
+    class _LazyPlan(dict):
+        def __init__(self, build):
+            super().__init__()
+            self._build = build
+
+        def __missing__(self, key):
+            val = self._build(key)
+            self[key] = val
+            return val
 
     def __init__(self, matcher: GazetteerMatcher, onto: OntologyIndex,
                  info_map: Dict[str, tuple]):
         self.matcher = matcher
-        plan: Dict[str, tuple] = {}
-        for key, (uri, sp_types, _sim, _psr, _sup, _nc) in \
-                matcher._best.items():
+
+        def build(key: str) -> tuple:
+            uri, sp_types, _sim, _psr, _sup, _nc = matcher._best[key]
             info = info_map.get(uri)
             if info is not None:
                 etypes, lin, lout = info
@@ -143,9 +160,10 @@ class DocAssembler:
                 node_seq.append(VIRTUAL_ROOT)
                 triple_seq.append((uri, PRED_HAS_TYPE, VIRTUAL_ROOT))
                 edge_seq.append((uri, VIRTUAL_ROOT))
-            plan[key] = (uri, attrs, tuple(node_seq), tuple(edge_seq),
-                         tuple(triple_seq))
-        self.plan = plan
+            return (uri, attrs, tuple(node_seq), tuple(edge_seq),
+                    tuple(triple_seq))
+
+        self.plan = self._LazyPlan(build)
 
 
 def _document_kernel(url: str, text: str, assembler: DocAssembler,

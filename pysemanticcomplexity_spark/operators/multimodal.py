@@ -72,17 +72,22 @@ IMAGE_SCHEMA = T.StructType([
 # guaranteed, and an unguarded allocation either ooms the executor or
 # raises MemoryError, which the fake-fallback except clauses would not
 # catch — a task-killing DoS.  Every decoder validates declared dims
-# FIRST; the ValueError routes corrupt payloads to the documented fake
-# fallback instead.
-MAX_PIXELS = 1 << 27         # 134M px ≈ 536 MB RGBA — generous for docs
+# FIRST, and the cap is byte-aware: pixels alone under-count when a
+# format's working buffers are wider than 1 byte/px (16-bit PNG samples,
+# JPEG's int64 coefficient planes at 512 B per 8x8 block), so each
+# decoder passes its real worst-case decode-stage bytes/pixel.  The
+# ValueError routes corrupt payloads to the documented fake fallback.
+MAX_PIXELS = 1 << 27         # 134M px
+MAX_DECODED_BYTES = 1 << 29  # 536 MB cap on any single decode-stage buffer
 
 
-def _check_dims(h: int, w: int) -> None:
+def _check_dims(h: int, w: int, bpp: int = 4) -> None:
     if h < 0 or w < 0:
         raise ValueError(f"invalid image dimensions {w}x{h}")
-    if h * w > MAX_PIXELS:
-        raise ValueError(f"declared dimensions {w}x{h} exceed MAX_PIXELS="
-                         f"{MAX_PIXELS} (decompression-bomb guard)")
+    if h * w > MAX_PIXELS or h * w * bpp > MAX_DECODED_BYTES:
+        raise ValueError(f"declared dimensions {w}x{h} ({bpp} B/px) exceed "
+                         f"MAX_PIXELS={MAX_PIXELS} or MAX_DECODED_BYTES="
+                         f"{MAX_DECODED_BYTES} (decompression-bomb guard)")
 
 
 def _decode_ppm(buf: bytes):
@@ -109,7 +114,7 @@ def _decode_ppm(buf: bytes):
     if len(tokens) < 3:
         raise ValueError("PPM header truncated")
     w, h, maxval = tokens
-    _check_dims(h, w)
+    _check_dims(h, w, bpp=6 if maxval > 255 else 3)
     pos += 1                                 # single whitespace after maxval
     if maxval > 255:                         # 2-byte BE samples -> high byte
         px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3 * 2,
@@ -251,7 +256,10 @@ def _decode_png(buf: bytes):
         raise ValueError("PNG: 16-bit palette indices are not legal")
     if color == 3 and plte is None:
         raise ValueError("PNG decode: paletted image without PLTE")
-    raw = zlib.decompress(b"".join(idat))
+    # byte-aware re-check now that the per-pixel width is known (a 16-bit
+    # RGBA image inflates to 8 B/px of scanline data — the pixel cap alone
+    # would admit a ~1.1 GB raw buffer)
+    _check_dims(h, w, bpp=max(1, nch * (2 if depth == 16 else 1)))
 
     def row_bytes(pixels):
         return (pixels * nch * depth + 7) // 8
@@ -272,11 +280,8 @@ def _decode_png(buf: bytes):
     # filters step over bytes; for sub-byte depths bpp is one byte
     step = max(1, nch * depth // 8)
     if interlace == 0:
-        stride = row_bytes(w)
-        if len(raw) != h * (stride + 1):
-            raise ValueError("PNG scanline data size mismatch")
-        rows, _ = _png_unfilter(raw, 0, h, stride, step)
-        img = unpack(rows, w)
+        passes = None
+        expected = h * (row_bytes(w) + 1)
     elif interlace == 1:                    # Adam7
         passes = []
         for x0, y0, dx, dy in _ADAM7:
@@ -284,16 +289,27 @@ def _decode_png(buf: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
                 passes.append((x0, y0, dx, dy, pw, ph))
-        if len(raw) != sum(ph * (row_bytes(pw) + 1)
-                           for *_xy, pw, ph in passes):
-            raise ValueError("PNG interlaced data size mismatch")
+        expected = sum(ph * (row_bytes(pw) + 1) for *_xy, pw, ph in passes)
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    # inflate capped at the scanline size the VALIDATED dims imply — an
+    # unbounded zlib.decompress lets a tiny high-ratio IDAT (classic zip
+    # bomb, ~1000:1) demand gigabytes before any size check runs
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    extra = dec.decompress(dec.unconsumed_tail, 1)
+    if len(raw) != expected or extra:
+        raise ValueError("PNG interlaced data size mismatch" if interlace
+                         else "PNG scanline data size mismatch")
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, row_bytes(w), step)
+        img = unpack(rows, w)
+    else:
         img = np.zeros((h, w, nch), dtype=np.uint8)   # pass assembly target
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
             rows, off = _png_unfilter(raw, off, ph, row_bytes(pw), step)
             img[y0::dy, x0::dx] = unpack(rows, pw)
-    else:
-        raise ValueError(f"invalid PNG interlace method {interlace}")
     if depth < 8 and color == 0:            # scale gray to 8-bit
         img = (img.astype(np.int64) * (255 // ((1 << depth) - 1))) \
             .astype(np.uint8)
@@ -314,8 +330,14 @@ def _lzw_decode(data: bytes, mcs: int, expected: int):
     """GIF-variant LZW: codes LSB-first across the concatenated data
     sub-blocks, starting at ``mcs + 1`` bits; CLEAR resets the table, the
     code width grows when the table reaches 2^width (capped at 12 bits).
-    Returns exactly ``expected`` palette indices (trailing codes beyond the
-    frame's pixel count are ignored, per the spec's tolerance)."""
+    Returns exactly ``expected`` palette indices as bytes (trailing codes
+    beyond the frame's pixel count are ignored, per the spec's tolerance).
+    Output and table entries are bytes, not int tuples — 1 B/px instead of
+    a ~40 B/px Python list, so a kilobyte stream of repeated max-width
+    codes can't amplify a within-cap frame into gigabytes of driver-format
+    objects; indices fit in a byte because mcs <= 8 (256-color GIF)."""
+    if not 1 <= mcs <= 8:
+        raise ValueError(f"GIF: LZW minimum code size {mcs} out of range")
     clear, end = 1 << mcs, (1 << mcs) + 1
     total_bits = len(data) * 8
     bitpos = 0
@@ -330,15 +352,16 @@ def _lzw_decode(data: bytes, mcs: int, expected: int):
         bitpos += nbits
         return val
 
-    out = []
-    table = [(i,) for i in range(clear)] + [(), ()]
+    literals = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    table = list(literals)
     width, prev = mcs + 1, None
     while len(out) < expected:
         code = read(width)
         if code is None or code == end:
             break
         if code == clear:
-            table = [(i,) for i in range(clear)] + [(), ()]
+            table = list(literals)
             width, prev = mcs + 1, None
             continue
         if prev is None:
@@ -351,7 +374,7 @@ def _lzw_decode(data: bytes, mcs: int, expected: int):
             entry = table[prev] + table[prev][:1]
         else:
             raise ValueError("LZW: code beyond table")
-        out.extend(entry)
+        out += entry
         if prev is not None:
             table.append(table[prev] + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -359,7 +382,7 @@ def _lzw_decode(data: bytes, mcs: int, expected: int):
         prev = code
     if len(out) < expected:
         raise ValueError("LZW: pixel data exhausted early")
-    return out[:expected]
+    return bytes(out[:expected])
 
 
 def _gif_image_blocks(buf: bytes):
@@ -392,7 +415,7 @@ def _gif_image_blocks(buf: bytes):
             raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
         left, top = le16(pos + 1), le16(pos + 3)
         ih, iw = le16(pos + 7), le16(pos + 5)
-        _check_dims(ih, iw)
+        _check_dims(ih, iw, bpp=3)
         if left or top or iw != le16(6) or ih != le16(8):
             raise NotImplementedError(
                 "GIF frame does not cover the logical screen")
@@ -416,7 +439,7 @@ def _gif_image_blocks(buf: bytes):
 
         def decode(ih=ih, iw=iw, table=table, interlaced=interlaced,
                    mcs=mcs, data=bytes(data)):
-            idx = np.array(_lzw_decode(data, mcs, iw * ih), np.int64)
+            idx = np.frombuffer(_lzw_decode(data, mcs, iw * ih), np.uint8)
             if (idx >= len(table)).any():
                 raise ValueError("GIF: palette index out of range")
             arr = idx.reshape(ih, iw)
@@ -576,6 +599,17 @@ def _decode_jpeg(buf: bytes):
             frame = (h, w, comps, marker == 0xC2)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # the coefficient planes cost 512 B per 8x8 block (int64) and
+            # are allocated from ~20 header bytes — cap BYTES, not pixels:
+            # a within-MAX_PIXELS 3-component SOF would otherwise demand
+            # ~24 B/px (3+ GB) before any entropy data is even present
+            nblocks = sum(mcuy * vi * mcux * hi for _cid, _tq, hi, vi in comps)
+            if nblocks * 64 * 8 > MAX_DECODED_BYTES:
+                raise ValueError(
+                    f"JPEG: declared frame needs {nblocks} coefficient "
+                    f"blocks, exceeding MAX_DECODED_BYTES="
+                    f"{MAX_DECODED_BYTES} (decompression-bomb guard, "
+                    f"MAX_PIXELS family)")
             coefs = [np.zeros((mcuy * vi * 8 // 8, mcux * hi * 8 // 8, 64),
                               dtype=np.int64)
                      for _cid, _tq, hi, vi in comps]

@@ -176,7 +176,7 @@ def _has_finite_vp(node: Node) -> bool:
     return False
 
 
-def _parse_chunks(toks: Sequence[Tuple[str, str]], top: bool) -> List[Node]:
+def _parse_chunks(toks: Sequence[Tuple[str, str]]) -> List[Node]:
     """One cascaded pass over (word, PennTag) pairs -> chunk list.
     SBAR opens at a non-initial wh-word/subordinator and consumes the
     rest of the token stream, attaching into an open VP when one
@@ -266,11 +266,8 @@ def _parse_chunks(toks: Sequence[Tuple[str, str]], top: bool) -> List[Node]:
             open_vp = None
             i += 1
             continue
-        if tag == "MD":
-            # unreachable (MD in _VERB_TAGS) — kept for clarity
-            i += 1
-            continue
         # CD outside an NP run, or anything unexpected: bare NP
+        # (MD never reaches here — it is in _VERB_TAGS)
         emit(Node("NP", [_pre(tag, w)]), into_vp=True)
         i += 1
 
@@ -341,7 +338,7 @@ def det_parse(text: str) -> List[Node]:
         if not words:
             continue
         toks = [(w, _penn_tag(w)) for w in words]
-        chunks = _clause_split(_parse_chunks(toks, top=True))
+        chunks = _clause_split(_parse_chunks(toks))
         label = "S" if any(_has_finite_vp(c) for c in chunks) else "FRAG"
         sent = Node(label, chunks)
         roots.append(Node("ROOT", [sent]))

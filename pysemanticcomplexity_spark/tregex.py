@@ -108,10 +108,12 @@ def parse_penn(text: str) -> List[Node]:
             if not stack:
                 raise ValueError("malformed Penn tree: unbalanced ')'")
             label, children = stack.pop()
+            # Node(label, children) wires parent/idx for every child, so
+            # the tree is fully connected as parents close — the node's own
+            # parent is set when ITS parent's Node(...) runs
             node = Node(label, children)
             if stack:
                 stack[-1][1].append(node)
-                node.parent = None  # fixed by Node(...) of the parent
             else:
                 roots.append(node)
         else:
@@ -121,22 +123,7 @@ def parse_penn(text: str) -> List[Node]:
         i += 1
     if stack:
         raise ValueError("malformed Penn tree: unbalanced '('")
-    # children were accumulated before the parent Node existed; re-wire
-    for r in roots:
-        _rewire(r)
     return roots
-
-
-def _rewire(node: Node) -> None:
-    # iterative: parsed trees can be deeper than the recursion limit
-    # (e.g. a stored det_parse of one run-on crawl sentence)
-    stack = [node]
-    while stack:
-        nd = stack.pop()
-        for i, c in enumerate(nd.children):
-            c.parent = nd
-            c.idx = i
-        stack.extend(nd.children)
 
 
 def to_penn(node: Node) -> str:
@@ -463,6 +450,19 @@ class TregexPattern:
         if op == "<#":
             h = head_child(node)
             return [h] if h is not None else []
+        if op in ("<<,", "<<-", "<<#"):
+            # chain relations: leftmost- / rightmost- / head-descendant at
+            # any depth — follow one child per level until a leaf
+            step = {"<<,": lambda n: n.children[0] if n.children else None,
+                    "<<-": lambda n: n.children[-1] if n.children else None,
+                    "<<#": head_child}[op]
+
+            def chain(n=node, step=step):
+                cur = step(n)
+                while cur is not None:
+                    yield cur
+                    cur = step(cur)
+            return chain()
         parent = node.parent
         if parent is None:
             return []

@@ -333,7 +333,7 @@ def test_gif_lzw_hand_golden():
     byte0 = 100 + 001<<3 + (010&0b11)<<6 = 0b10001100 = 0x8C
     byte1 = 010>>2 + 001<<1 + 101<<4 = 0b1010010 = 0x52"""
     from pysemanticcomplexity_spark.operators.multimodal import _lzw_decode
-    assert _lzw_decode(bytes([0x8C, 0x52]), 2, 3) == [1, 2, 1]
+    assert _lzw_decode(bytes([0x8C, 0x52]), 2, 3) == bytes([1, 2, 1])
 
 
 def test_gif_decode_roundtrip_matrix():
@@ -1419,6 +1419,63 @@ def test_dimension_bombs_rejected_before_allocation():
     for fmt, dec in decoders.items():
         with _pytest.raises(ValueError, match="MAX_PIXELS"):
             dec(bombs[fmt])
+
+
+def test_byte_bombs_rejected_within_pixel_cap():
+    """Bombs that pass the PIXEL cap but blow the BYTE caps: a high-ratio
+    zlib IDAT behind tiny declared dims (inflate must be capped at the
+    dims-implied scanline size, not trusted), a 16-bit RGBA PNG whose raw
+    buffer is ~8 B/px, a JPEG SOF whose int64 coefficient planes cost
+    512 B per 8x8 block, and a GIF declaring an out-of-range LZW code
+    size (a 2^mcs literal table)."""
+    import struct
+    import time
+    import zlib as _z
+
+    import pytest as _pytest
+    from pysemanticcomplexity_spark.operators.multimodal import (
+        _decode_gif, _decode_jpeg, _decode_png)
+
+    def png_chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data)))
+
+    # 1x1 RGBA dims (pass every dim check) + an IDAT that inflates ~1000:1
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    bomb_idat = _z.compress(b"\x00" * (64 << 20), 9)     # 64 MB -> ~64 KB
+    png = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+           + png_chunk(b"IDAT", bomb_idat) + png_chunk(b"IEND", b""))
+    t0 = time.monotonic()
+    with _pytest.raises(ValueError, match="size mismatch"):
+        _decode_png(png)
+    assert time.monotonic() - t0 < 5        # capped inflate, no 64 MB+ alloc
+
+    # 16-bit RGBA at 134M px passes MAX_PIXELS but needs ~1.1 GB raw
+    ihdr16 = struct.pack(">IIBBBBB", 11585, 11585, 16, 6, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr16)
+             + png_chunk(b"IDAT", _z.compress(b"\x00" * 8))
+             + png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="decompression-bomb"):
+        _decode_png(png16)
+
+    # 3-component 11585x11585 SOF0: within MAX_PIXELS, ~3.2 GB of planes
+    def jseg(marker, payload):
+        return b"\xff" + marker + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (b"\xff\xd8" + jseg(b"\xdb", b"\x00" + bytes([1] * 64))
+           + jseg(b"\xc0", struct.pack(">BHHB", 8, 11585, 11585, 3)
+                  + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+           + b"\xff\xd9")
+    with _pytest.raises(ValueError, match="decompression-bomb"):
+        _decode_jpeg(jpg)
+
+    # mcs=12 would build a 4096-entry literal table and >255 byte values
+    gif = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
+           + bytes([255, 0, 0, 0, 255, 0])
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+           + b"\x0c" + b"\x01\x44" + b"\x00" + b"\x3b")
+    with _pytest.raises(ValueError, match="out of range"):
+        _decode_gif(gif)
 
 
 def test_dimension_bombs_fall_through_to_fake(spark):

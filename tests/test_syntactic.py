@@ -127,6 +127,31 @@ def test_rel_first_child_and_head():
     assert C("S <# VP") == 1
 
 
+def test_rel_descendant_chains():
+    """<<, / <<- / <<# follow one child per level to any depth (these were
+    lexed but raised 'unsupported relation' at MATCH time — the compile
+    contract promises unsupported syntax fails at construction)."""
+    # leftmost-descendant chain of S: NP, DT, the
+    assert C("S <<, NP") == 1
+    assert C("S <<, DT") == 1
+    assert C("S <<, the") == 1
+    assert C("S <<, NN") == 0        # NN is not on the first-child chain
+    assert C("S <<, VP") == 0
+    # rightmost-descendant chain of S: VP, ADJP, JJ, happy
+    assert C("S <<- VP") == 1
+    assert C("S <<- JJ") == 1
+    assert C("S <<- happy") == 1
+    assert C("S <<- NP") == 0
+    # head-descendant chain of S: VP (head of S), VBZ (head of VP), is
+    assert C("S <<# VP") == 1
+    assert C("S <<# VBZ") == 1
+    assert C("S <<# is") == 1
+    assert C("S <<# ADJP") == 0
+    assert C("S <<# NP") == 0
+    # depth >= 1: the node itself is not its own chain-descendant
+    assert C("NP <<, NP") == 0
+
+
 def test_rel_sisters():
     t = parse_penn("(X (A a) (B b) (C c))")
     assert C("A $+ B", t) == 1
