@@ -44,3 +44,36 @@ def test_fused_docs_row_per_page(spark, dims, pages60, pages60_df):
                       dims["instance_types"], dims["kb_triples"])
     fused = pipe.run_fused(pages60_df, persist_docs=False)
     assert fused.docs.count() == len(pages60)
+
+
+def test_doc_assembler_plans_are_lazy():
+    """Plan entries materialize only for keys a document actually mentions
+    — an eager build walks the ontology closure for the entire gazetteer
+    universe once per task, which inverts the amortization for small
+    tasks (streaming micro-batches against a large gazetteer)."""
+    from pysemanticcomplexity_spark.annotation_core import GazetteerMatcher
+    from pysemanticcomplexity_spark.ontology import OntologyIndex
+    from pysemanticcomplexity_spark.operators.fused import (
+        DocAssembler, _document_kernel)
+
+    matcher = GazetteerMatcher(fixtures.gazetteer())
+    onto = OntologyIndex([(c, p) for c, p, *_ in fixtures.ontology_edges()])
+    assembler = DocAssembler(matcher, onto, {})
+    assert len(assembler.plan) == 0            # nothing built up front
+
+    # > PARAGRAPH_THRESHOLD (150) chars so the P3 filter keeps it
+    text = ("The spark job wrote a table using a window. " * 4).strip()
+    nb_words, triples, feats = _document_kernel("u1", text, assembler)
+    built = set(assembler.plan)
+    assert 0 < len(built) < len(matcher._best)  # only the touched keys
+    assert nb_words > 0 and triples
+
+    # memoized: a second document with the same mentions adds no entries
+    _document_kernel("u2", text, assembler)
+    assert set(assembler.plan) == built
+
+    # lazy == eager: forcing every key yields identical plan tuples to a
+    # fresh assembler fully materialized the same way
+    full = DocAssembler(matcher, onto, {})
+    for key in matcher._best:
+        assert assembler.plan[key] == full.plan[key]
