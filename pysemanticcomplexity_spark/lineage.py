@@ -65,7 +65,16 @@ def _new_bucket_counts(spark, target: str, done) -> DataFrame:
     PartitionFilter: the scan prunes completed buckets' files entirely (at
     100 TB this reads only the buckets written by the current run, never the
     full prior output)."""
-    scan = spark.read.parquet(target)
+    try:
+        scan = spark.read.parquet(target)
+    except Exception:
+        # an EMPTY DataFrame written to a fresh dir leaves only _SUCCESS —
+        # no parquet footer to infer a schema from (UNABLE_TO_INFER_SCHEMA).
+        # A run where every row was filtered out is a legal no-op, not a
+        # crash: it has written zero buckets, so it gets zero lineage rows.
+        from .schemas import LINEAGE
+        return (spark.createDataFrame([], LINEAGE)
+                .select("bucket", "rows"))
     if done:
         scan = scan.filter(~F.col("bucket").isin(sorted(done)))
     return scan.groupBy("bucket").agg(F.count("*").alias("rows"))

@@ -378,15 +378,21 @@ def corpus_prep(docs: DataFrame, benchmark: DataFrame,
         # contamination == join version by test, and the driver E2E
         # oracle pins it cross-engine every round).
         g = textstats.gopher_metric_exprs(text_col)
-        flagged = contamination_flags_rowlocal(
-            docs, benchmark, n=n, id_col=id_col, text_col=text_col,
-            passthrough=True)
-        kept = (stratified_sample(flagged, fractions, strata_col=strata_col,
-                                  id_col=id_col,
-                                  default_fraction=default_fraction)
-                .filter(g["passes"]
-                        & (F.col("contamination") <= contamination_threshold)
-                        & (textstats.model_margin_expr(text_col) > mq_margin))
+        # the JVM-expressible filters (sample hash, Gopher rules, model
+        # margin) run BELOW the contamination mapInPandas: Catalyst cannot
+        # push a filter through an opaque Python node, so filtering first
+        # keeps (1 - selectivity) of the corpus out of the Arrow transfer
+        # and the python shingling entirely. Row-local conjunction order is
+        # free — the retained set is identical (E2E oracle pins it).
+        pre = (stratified_sample(docs, fractions, strata_col=strata_col,
+                                 id_col=id_col,
+                                 default_fraction=default_fraction)
+               .filter(g["passes"]
+                       & (textstats.model_margin_expr(text_col) > mq_margin)))
+        kept = (contamination_flags_rowlocal(
+                    pre, benchmark, n=n, id_col=id_col, text_col=text_col,
+                    passthrough=True)
+                .filter(F.col("contamination") <= contamination_threshold)
                 .withColumn("n_words", g["n_words"]))
         keep = (dedup.exact_dedup(docs, id_col=id_col, text_col=text_col)
                 .select(F.col("keep_id").alias(id_col)))

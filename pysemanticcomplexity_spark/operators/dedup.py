@@ -194,6 +194,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, *,
     the hub), so ``duplicate_clusters`` downstream is unaffected. Use the
     cap for clustering flows; leave it None when each individual pair will
     be verified (star mode intentionally omits non-hub pairs)."""
+    if bands < 1 or bands > sig_len or sig_len % bands:
+        # bands > sig_len would make every band slice EMPTY — every doc
+        # lands in one identical bucket and the self-join degenerates to
+        # the all-pairs cross product this operator exists to prevent;
+        # a non-divisor silently drops the trailing sig_len % bands
+        # hashes, changing the recall curve behind the caller's back
+        raise ValueError(
+            f"bands={bands} must divide sig_len={sig_len} "
+            f"(1 <= bands <= sig_len)")
     rows_per_band = sig_len // bands
 
     def band_bucket(b):
@@ -351,6 +360,16 @@ def embedding_near_dups_bruteforce(emb: DataFrame, threshold: float = 0.95,
                                method="bruteforce")
 
 
+def _check_simhash_bits(n_bits: int) -> None:
+    """The fingerprint packs bit j as shiftleft(1, j) into ONE long, and
+    the xxhash64 family reads bit j of ONE 64-bit hash — beyond 64, Java
+    shift counts wrap mod 64, so bits j and j-64 silently alias (wrong
+    fingerprints, no error).  Fail loudly instead."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits={n_bits} out of range (1..64: fingerprints"
+                         f" are single 64-bit longs)")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", hash_fn: str = "xxhash64",
             n_bits: int = 64) -> DataFrame:
@@ -363,6 +382,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     derives bit j as (C_j*poly(token)+D_j) mod p mod 2 — engine-portable, so
     the DuckDB oracle reproduces the fingerprints bit-for-bit (use a smaller
     n_bits like 32 to keep the generated SQL reasonable)."""
+    _check_simhash_bits(n_bits)
     toks = (docs.select(F.col(id_col).alias("id"),
                         F.explode(F.split(normalize_text(F.col(text_col)), " "))
                         .alias("tok"))
@@ -403,6 +423,7 @@ def simhash_rowlocal(docs: DataFrame, id_col: str = "doc_id",
     ``array_repeat(0, n_bits)`` accumulator with ``zip_with``; the final
     sign/assemble pass reads the materialized sums column, not n_bits
     copies of the fold expression."""
+    _check_simhash_bits(n_bits)
     toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
                     lambda t: F.length(t) > 0)
     if hash_fn == "xxhash64":

@@ -10,6 +10,13 @@
 Vectors are cast to double before arithmetic so results are reproducible
 across engines (float32 summation order differences disappear at double
 precision for 64-dim vectors).
+
+Degenerate vectors never rank: a NaN component makes every cosine against
+the vector NaN, and Spark orders NaN ABOVE every double — unfiltered, one
+corrupt embedding row (a real upstream-model failure mode) would become
+the rank-1 neighbor of EVERY query. All three operators drop
+NULL/NaN sims before ranking (zero-norm vectors divide to NULL non-ANSI),
+matching the blas kernel, whose lexsort+isfinite path already dropped them.
 """
 from __future__ import annotations
 
@@ -48,11 +55,19 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
            .filter(F.col("neighbor_id") != F.col("query_id"))
            .select("query_id", "neighbor_id",
                    (_dot(F.col("cvec"), F.col("qvec"))
-                    / (F.col("cnorm") * F.col("qnorm"))).alias("sim")))
+                    / (F.col("cnorm") * F.col("qnorm"))).alias("sim"))
+           .filter(_finite_sim()))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def _finite_sim() -> F.Column:
+    """Drop NULL (zero-norm divide) and NaN (NaN-component vector) sims —
+    NaN sorts above every double in Spark, so one corrupt vector would
+    otherwise outrank every true neighbor for every query."""
+    return F.col("sim").isNotNull() & ~F.isnan("sim")
 
 
 def _prep_vectors(df: DataFrame, id_col: str, vec_col: str,
@@ -141,6 +156,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
            .select("query_id", "neighbor_id",
                    (_dot(F.col("cvec"), F.col("qvec"))
                     / (F.col("cnorm") * F.col("qnorm"))).alias("sim"))
+           .filter(_finite_sim())
            .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     cols = ["query_id", "neighbor_id", "rank"] + (["sim"] if return_sim else [])
@@ -299,7 +315,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         sim = cand.select(
             "query_id", "neighbor_id",
             (_dot(F.col("cvec"), F.col("qvec"))
-             / (F.col("cnorm") * F.col("qnorm"))).alias("sim"))
+             / (F.col("cnorm") * F.col("qnorm"))).alias("sim")) \
+            .filter(_finite_sim())
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

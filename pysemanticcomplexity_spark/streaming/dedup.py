@@ -71,7 +71,12 @@ def streaming_dup_counts(stream: DataFrame, id_col: str = "doc_id",
     (applyInPandasWithState): keep_id is the minimum id ever seen for the
     key (deterministic winner, same rule as batch exact_dedup); n_seen the
     total row count. Update output mode; one emitted row per updated key per
-    batch."""
+    batch.
+
+    Null-id rows are excluded up front: a row with no id cannot be a dedup
+    representative, and Arrow delivers a null long as NaN — an all-null
+    chunk would make ``int(min())`` raise and kill the query, a partly-null
+    one would store None into the non-null state schema."""
 
     def update(key, pdfs, state: GroupState):
         n, keep = 0, None
@@ -85,8 +90,9 @@ def streaming_dup_counts(stream: DataFrame, id_col: str = "doc_id",
         yield pd.DataFrame({"text_key_hi": [key[0]], "text_key_lo": [key[1]],
                             "n_seen": [n], "keep_id": [keep]})
 
-    keyed = stream.select(
+    keyed = (stream.select(
         *exact_key_cols(text_col), F.col(id_col).alias("id"))
+        .filter(F.col("id").isNotNull()))
     return (keyed.groupBy("text_key_hi", "text_key_lo")
             .applyInPandasWithState(update, outputStructType=_DUP_OUT,
                                     stateStructType=_DUP_STATE,

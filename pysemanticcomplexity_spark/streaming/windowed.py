@@ -17,7 +17,15 @@ def windowed_event_counts(stream: DataFrame, ts_col: str = "ts",
                           window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:
     """(window_start, window_end, key, n, value_sum_cents) with late rows
-    beyond the watermark dropped; append-mode compatible."""
+    beyond the watermark dropped; append-mode compatible.
+
+    Cents conversion goes double -> string -> decimal(20,2): the string
+    cast recovers the shortest round-trip literal ("8.845", not the stored
+    binary 8.84499...), so half-cent boundary values land on the cent the
+    producer wrote — ``round(value*100)`` on the raw double misrounds every
+    .xx5 amount one cent low."""
+    cents = (F.col("value").cast("string").cast("decimal(20,2)")
+             * 100).cast("long")
     return (stream
             # watermarks require TIMESTAMP (parquet often yields TIMESTAMP_NTZ)
             .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -25,8 +33,7 @@ def windowed_event_counts(stream: DataFrame, ts_col: str = "ts",
             .groupBy(F.window(F.col(ts_col), window).alias("w"),
                      F.col(key_col).alias("key"))
             .agg(F.count("*").alias("n"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
-                 .alias("value_sum_cents"))
+                 F.sum(cents).alias("value_sum_cents"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "key", "n", "value_sum_cents"))

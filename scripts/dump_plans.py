@@ -94,11 +94,15 @@ def main():
 
     sections.append((
         "E2E_corpus_prep (quality -> dedup -> decontaminate -> mix -> rollup)",
-        "Round-4 fused (single-scan) form: ONE MapInPandas (broadcast-set "
-        "contamination kernel, passthrough) feeds ONE codegen'd Filter "
-        "holding the sampler hash + per-stratum thresholds, the full "
-        "Gopher conjunction AND the model-quality margin — all row-local "
-        "stages execute inside the scan's stage with zero shuffles. The "
+        "Round-5 fused (single-scan) form: the JVM-expressible filters "
+        "(sampler hash + per-stratum thresholds, full Gopher conjunction, "
+        "model-quality margin) run as ONE codegen'd Filter directly on the "
+        "scan, BELOW the MapInPandas contamination kernel — Catalyst can't "
+        "push predicates through an opaque Python node, so pre-filtering "
+        "keeps the rejected share of the corpus out of the Arrow transfer "
+        "and the Python shingling entirely; the contamination threshold is "
+        "the only post-Python filter. All row-local stages still execute "
+        "inside the scan's stage with zero shuffles. The "
         "only other corpus touch is the exact-dedup keep-set (partial/"
         "final min over the 128-bit key) joined back id-keyed (broadcast "
         "at bench scale, AQE sort-merge when it outgrows the threshold), "

@@ -262,6 +262,60 @@ def test_streaming_corpus_prep_equals_batch(spark, tmp_path):
     assert len({2, 8} & ids) == 1                   # exactly one of the dups
 
 
+def test_streaming_sample_after_dedup(spark, tmp_path):
+    """A duplicate group is sampled ONCE, through its dedup representative:
+    when the first-arriving member's id fails the stratified-sample hash,
+    the group is dropped even though a later duplicate's id would pass.
+    (Sampling before dedup retained a k-member group whenever ANY member
+    passed — probability 1-(1-f)^k instead of f — skewing the mix toward
+    duplicated content.)"""
+    from pysemanticcomplexity_spark.operators.corpus import stratified_sample
+    from pysemanticcomplexity_spark.streaming.corpus import (
+        streaming_corpus_prep)
+
+    fr = {"web": 0.5}
+    cand = spark.createDataFrame([(i, "web") for i in range(200)],
+                                 "doc_id long, source string")
+    passing = {r["doc_id"] for r in stratified_sample(cand, fr).collect()}
+    fail_id = next(i for i in range(200) if i not in passing)
+    pass_id = next(i for i in range(200) if i in passing and i != fail_id)
+    sentinel = next(i for i in sorted(passing) if i != pass_id)
+
+    # short stems: _prep_doc token length feeds Gopher's mean-word-length
+    # bound (a "solostem" stem pushes the mean over 10 and fails QF)
+    dup_text = _prep_doc(0, "dup")
+    schema = "doc_id long, text string, source string, event_ts string"
+    bench = spark.createDataFrame([(100, _prep_doc(10, "bench"))],
+                                  "doc_id long, text string")
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_corpus_prep(stream, bench, fr)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: the FAILING id arrives first -> becomes the representative;
+    # a passing-id sentinel with unique text proves the pipeline retains
+    spark.createDataFrame(
+        [(fail_id, dup_text, "web", "2024-01-01 10:00:00"),
+         (sentinel, _prep_doc(1, "solo"), "web", "2024-01-01 10:00:30")],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # batch 2: a duplicate with a PASSING id arrives later -> deduped away
+    spark.createDataFrame(
+        [(pass_id, dup_text, "web", "2024-01-01 10:01:00")],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert sentinel in got_ids
+    assert fail_id not in got_ids          # representative failed the hash
+    assert pass_id not in got_ids          # duplicate never re-sampled
+
+
 def test_pack_sequences_matches_global_window(spark):
     import pyspark.sql.functions as F
     from pyspark.sql import Window

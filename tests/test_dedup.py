@@ -445,3 +445,29 @@ def test_line_dedup_matches_python(spark):
     # the boilerplate line survives exactly once, in doc 0
     assert "SHARED BOILERPLATE" in got[0]["text"]
     assert all("SHARED BOILERPLATE" not in got[i]["text"] for i in (1, 2, 4))
+
+
+def test_lsh_candidate_pairs_validates_geometry(spark, docs):
+    """bands > sig_len used to slice EMPTY bands (every doc in one bucket
+    -> all-pairs cross join); a non-divisor silently dropped the trailing
+    hashes. Both must fail loudly."""
+    import pytest as _pytest
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=4)
+    with _pytest.raises(ValueError, match="bands"):
+        dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=4)
+    with _pytest.raises(ValueError, match="bands"):
+        dedup.lsh_candidate_pairs(sigs, bands=3, sig_len=4)
+
+
+def test_simhash_rejects_out_of_range_bits(spark, docs):
+    """n_bits > 64 silently aliased bits mod 64 (Java shift wrap) — the
+    fingerprint is ONE long, so both variants must reject it."""
+    import pytest as _pytest
+    for fn in ("xxhash64", "poly"):
+        with _pytest.raises(ValueError, match="n_bits"):
+            dedup.simhash(docs, n_bits=128, hash_fn=fn)
+        with _pytest.raises(ValueError, match="n_bits"):
+            dedup.simhash_rowlocal(docs, n_bits=65, hash_fn=fn)
+    with _pytest.raises(ValueError, match="n_bits"):
+        dedup.simhash(docs, n_bits=0)

@@ -22,6 +22,20 @@ def test_basic_write_and_lineage(spark, tmp_path):
     assert spark.read.parquet(out + "/s").count() == 40
 
 
+def test_empty_dataframe_write_is_a_noop(spark, tmp_path):
+    """A run where every row was filtered out must no-op, not crash: the
+    empty write leaves only _SUCCESS in the target, and the post-write
+    recount used to die on UNABLE_TO_INFER_SCHEMA reading it back."""
+    out = str(tmp_path / "o")
+    resumable_write(_df(spark, n=0), out, "s", run_id="r0")   # must not raise
+    assert read_lineage(spark, out).count() == 0
+    assert completed_buckets(spark, out, "s") == []
+    # a later run with real rows proceeds normally on the same dir
+    resumable_write(_df(spark), out, "s", run_id="r1")
+    assert spark.read.parquet(out + "/s").count() == 40
+    assert sorted(completed_buckets(spark, out, "s")) == [0, 1, 2, 3]
+
+
 def test_crash_before_lineage_is_idempotent(spark, tmp_path):
     """A bucket whose data landed but whose lineage row did NOT (crash
     between the two steps) must be REPLACED on resume, not appended to."""

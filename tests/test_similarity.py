@@ -158,3 +158,33 @@ def test_ivf_rejects_unknown_kernel(spark, emb):
     with _pytest.raises(ValueError, match="kernel"):
         similarity.ivf_topk(df, df, centroids=np.zeros((4, DIM)),
                             kernel="nope")
+
+
+def test_nan_vector_never_ranks(spark, emb):
+    """One corrupt embedding (NaN component) must not hijack the ranking:
+    Spark orders NaN above every double, so an unfiltered NaN sim would be
+    the rank-1 neighbor of EVERY query. All three operators and both IVF
+    kernels must exclude it and agree with each other."""
+    df, vecs = emb
+    bad = spark.createDataFrame(
+        [(999, [float("nan")] + [0.0] * (DIM - 1))],
+        "vec_id long, embedding array<float>")
+    corpus = df.unionByName(bad)
+    q = df.filter("vec_id < 10")
+
+    clean = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in similarity.cosine_topk(df, q, k=3).collect()}
+    got = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in similarity.cosine_topk(corpus, q, k=3).collect()}
+    assert got == clean                       # NaN row changed nothing
+    assert not any(n == 999 for _q, n, _r in got)
+
+    lsh = similarity.lsh_topk(corpus, q, k=3, dim=DIM,
+                              n_tables=8, n_bits=6).collect()
+    assert not any(r["neighbor_id"] == 999 for r in lsh)
+
+    cents = np.random.RandomState(7).randn(16, DIM)
+    for kernel in ("expr", "blas"):
+        ivf = similarity.ivf_topk(corpus, q, k=4, centroids=cents,
+                                  nprobe=16, kernel=kernel).collect()
+        assert not any(r["neighbor_id"] == 999 for r in ivf), kernel

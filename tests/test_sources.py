@@ -100,7 +100,8 @@ def test_streaming_windowed_counts(spark, tmp_path):
                 (events.groupBy(F.window("ts", "1 hour").alias("w"),
                                 "event_type")
                  .agg(F.count("*").alias("n"),
-                      F.sum(F.round(F.col("value") * 100).cast("long"))
+                      F.sum((F.col("value").cast("string")
+                             .cast("decimal(20,2)") * 100).cast("long"))
                       .alias("s"))
                  .select(F.col("w.start").alias("ws"),
                          F.col("w.end").alias("we"), "event_type", "n", "s")
@@ -244,3 +245,20 @@ def test_streaming_kg_triples_equal_batch(spark, dims, tmp_path):
     assert got == want
     # no duplicates from the triple drains
     assert spark.read.parquet(out).count() == len(got)
+
+
+def test_windowed_cents_half_cent_boundary(spark):
+    """round(value*100) on the raw double misrounds every .xx5 amount one
+    cent low (8.845 is stored as 8.84499...); the decimal path recovers the
+    shortest round-trip literal and lands on the producer's cent."""
+    from pysemanticcomplexity_spark.streaming.windowed import (
+        windowed_event_counts)
+    rows = [("a", "2024-01-01 00:05:00", 8.845),
+            ("a", "2024-01-01 00:06:00", 0.005),
+            ("a", "2024-01-01 00:07:00", 2.10)]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    out = windowed_event_counts(df).collect()
+    assert len(out) == 1
+    # 8.845 -> 885, 0.005 -> 1 (round(0.4999..) was 0), 2.10 -> 210
+    assert out[0]["value_sum_cents"] == 885 + 1 + 210
+    assert out[0]["n"] == 3
