@@ -1431,6 +1431,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(d, size=512, stride=256)
     q["C3c_chunk_documents"] = c3c_chunk_documents
 
+    def c4_upsample(spark, sf_dir):
+        # temperature resampling: fractions above 1 emit repeated copies
+        # (floor + hash-gated fractional copy); row-local explode, no
+        # shuffle — the oracle replays it with generate_series
+        from pysemanticcomplexity_spark.operators.corpus import (
+            upsample_stratified)
+        return (upsample_stratified(
+                    _docs(spark, sf_dir).select("doc_id", "source"),
+                    {"src0": 2.5, "src1": 1.0, "src2": 0.25})
+                .select("doc_id", "source", "copy_idx"))
+    q["C4_upsample"] = c4_upsample
+
+    def c5_training_order(spark, sf_dir):
+        # deterministic epoch-order shuffle: dense global position via the
+        # fixed-width hash-bucket two-phase rank (the uniform key makes
+        # equal-width ranges balanced with no sampling pass) vs the
+        # oracle's single global ORDER BY row_number
+        from pysemanticcomplexity_spark.operators.corpus import (
+            training_order)
+        return (training_order(_docs(spark, sf_dir).select("doc_id"),
+                               num_ranges=8)
+                .select("doc_id", "shuffle_key", "position"))
+    q["C5_training_order"] = c5_training_order
+
+    def c6_token_budget(spark, sf_dir):
+        # per-source token budgeting: hash-ordered take-while under the
+        # same two-phase bucketed prefix sum, vs the oracle's per-source
+        # ORDER BY window
+        from pysemanticcomplexity_spark.operators.corpus import (
+            take_token_budget)
+        from pysemanticcomplexity_spark.operators.textstats import (
+            token_count_expr)
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+        return (take_token_budget(d, {"src0": 50_000, "src2": 20_000},
+                                  num_ranges=8)
+                .select(F.col("id").alias("doc_id"), "source", "n_tokens",
+                        "tokens_before"))
+    q["C6_token_budget"] = c6_token_budget
+
     def e2e_corpus_prep(spark, sf_dir):
         # the whole training-corpus prep as ONE declarative plan (the
         # library flagship operators/corpus.corpus_prep): Gopher quality ->
@@ -3368,6 +3409,61 @@ SELECT id, CAST(st / 256 AS BIGINT) AS chunk_idx,
        CAST(st AS BIGINT) AS tok_start,
        CAST(least(512, n_tokens - st) AS BIGINT) AS tok_len
 FROM c
+"""
+
+    # C4/C5/C6: the mix-recipe trio over the same portable sampling hash
+    from pysemanticcomplexity_spark.operators.corpus import (
+        SAMPLE_A as _SA, SAMPLE_B as _SB, SAMPLE_DENOM as _SD)
+    up_h = poly_fold.format(col="'mix:' || CAST(doc_id AS VARCHAR)")
+    o["C4_upsample"] = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         (({up_h} * {_SA} + {_SB}) % {POLY_MOD}) % {_SD} AS hh
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+              ELSE 0 END
+         + CASE WHEN hh < CASE source WHEN 'src0' THEN {_SD // 2}
+                               WHEN 'src2' THEN {_SD // 4}
+                               ELSE 0 END
+                THEN 1 ELSE 0 END AS n_copies
+  FROM h)
+SELECT doc_id, source, CAST(u.ci AS BIGINT) AS copy_idx
+FROM c, unnest(generate_series(0, n_copies - 1)) u(ci)
+WHERE n_copies > 0
+"""
+
+    sh_h = poly_fold.format(col="'shuffle:' || CAST(doc_id AS VARCHAR)")
+    o["C5_training_order"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         (({sh_h} * {_SA} + {_SB}) % {POLY_MOD}) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS position
+FROM h
+"""
+
+    bd_h = poly_fold.format(col="'budget:' || CAST(doc_id AS VARCHAR)")
+    o["C6_token_budget"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+         (({bd_h} * {_SA} + {_SB}) % {POLY_MOD}) AS h
+  FROM documents
+  WHERE source IN ('src0', 'src2')),
+w AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+              - n_tokens AS BIGINT) AS tokens_before
+  FROM t)
+SELECT doc_id, source, n_tokens, tokens_before
+FROM w
+WHERE tokens_before < CASE source WHEN 'src0' THEN 50000
+                                  WHEN 'src2' THEN 20000 END
 """
 
     # KG_pipeline_triples / KG_pipeline_features: intentionally omitted

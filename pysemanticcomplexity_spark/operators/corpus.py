@@ -28,7 +28,8 @@ from .dedup import POLY_MOD, poly_hash_expr, shingles
 
 __all__ = ["contamination_flags", "contamination_flags_rowlocal",
            "pack_sequences", "pack_sequences_split", "chunk_documents",
-           "stratified_sample",
+           "stratified_sample", "upsample_stratified", "training_order",
+           "take_token_budget",
            "corpus_prep", "corpus_prep_and_write",
            "SAMPLE_DENOM", "SAMPLE_A", "SAMPLE_B"]
 
@@ -337,6 +338,172 @@ def stratified_sample(docs: DataFrame, fractions: Dict[str, float],
                             F.lit(int(round(fractions[name] * SAMPLE_DENOM))))
                      .otherwise(threshold))
     return docs.filter(h < threshold)
+
+
+def _sample_hash(id_col: str, salt: str) -> F.Column:
+    """The engine-portable sampling hash shared by ``stratified_sample``,
+    ``upsample_stratified``, ``training_order`` and ``take_token_budget``:
+    char-fold of ``salt || id`` scattered by one affine step (see
+    SAMPLE_A's comment).  Range [0, POLY_MOD)."""
+    h0 = poly_hash_expr(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (h0 * SAMPLE_A + SAMPLE_B) % POLY_MOD
+
+
+def upsample_stratified(docs: DataFrame, fractions: Dict[str, float],
+                        strata_col: str = "source", id_col: str = "doc_id",
+                        default_fraction: float = 0.0,
+                        salt: str = "mix:") -> DataFrame:
+    """``stratified_sample`` generalized to fractions ABOVE 1 — the
+    temperature-resampling / domain-reweighting step of a training-mix
+    recipe (rare high-quality sources are repeated, bulk crawl is
+    thinned) as one deterministic row-local operator.
+
+    A stratum with fraction ``f = k + r`` (integer ``k``, ``0 <= r < 1``)
+    emits ``k`` copies of EVERY document plus one more iff the sampling
+    hash passes ``r`` — so expected copies per document is exactly ``f``,
+    and for ``f <= 1`` the emitted id set equals ``stratified_sample``'s
+    keep set bit-for-bit (tested).  Output: the input columns plus
+    ``copy_idx`` (0-based BIGINT); downstream packing keyed on
+    ``(id, copy_idx)`` keeps repeated copies apart.
+
+    Scale shape: one codegen'd Filter + ``explode(sequence(...))`` over
+    the scan — row-local, no shuffle, streaming-legal; output rows grow
+    by exactly the mix's expansion factor, nothing else."""
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"fraction for stratum {name!r} must be "
+                             f">= 0, got {frac}")
+    if default_fraction < 0:
+        raise ValueError(f"default_fraction must be >= 0, "
+                         f"got {default_fraction}")
+    h = _sample_hash(id_col, salt) % SAMPLE_DENOM
+
+    def split(f: float):
+        k = int(f)
+        rem = int(round((f - k) * SAMPLE_DENOM))
+        return k, rem
+
+    k0, r0 = split(default_fraction)
+    base, rem = F.lit(k0), F.lit(r0)
+    for name in sorted(fractions):
+        kn, rn = split(fractions[name])
+        cond = F.col(strata_col) == name
+        base = F.when(cond, F.lit(kn)).otherwise(base)
+        rem = F.when(cond, F.lit(rn)).otherwise(rem)
+    n_copies = (base + (h < rem).cast("int")).alias("_n_copies")
+    return (docs.withColumn("_n_copies", n_copies)
+            .filter(F.col("_n_copies") > 0)
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(
+                            F.lit(0).cast("long"),
+                            (F.col("_n_copies") - 1).cast("long"))))
+            .drop("_n_copies"))
+
+
+def training_order(docs: DataFrame, id_col: str = "doc_id",
+                   salt: str = "shuffle:",
+                   num_ranges: int = 64) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    dense 0-based ``position`` in the order of its engine-portable
+    ``shuffle_key`` hash (ties broken by id) — the "shuffle the corpus
+    once, reproducibly, before sharding" step every training run needs.
+    Changing ``salt`` draws an independent permutation; keeping it fixed
+    reproduces the exact epoch order on any engine or cluster layout.
+
+    Returns the input columns plus ``shuffle_key`` and ``position``.
+
+    Scale shape: the naive dense rank is one global ORDER BY window — ONE
+    partition, dead at 100 TB.  Here the hash is uniform on [0, POLY_MOD)
+    by construction, so FIXED equal-width key ranges give balanced
+    buckets with no sampling pass: per-bucket row counts (``num_ranges``
+    rows to the driver) become literal offsets, and the dense position is
+    offset + a bucket-local row_number — the same two-phase shape as
+    ``pack_sequences``, one narrow shuffle, parallel across buckets."""
+    from pyspark.sql import Window
+
+    width = POLY_MOD // num_ranges + 1
+    keyed = (docs.withColumn("shuffle_key", _sample_hash(id_col, salt))
+             .withColumn("_bkt", (F.col("shuffle_key") / width)
+                         .cast("int")))
+    counts = {r["_bkt"]: r["n"] for r in
+              keyed.groupBy("_bkt").agg(F.count("*").alias("n")).collect()}
+    off_expr, acc = F.lit(0).cast("long"), 0
+    for bkt in sorted(counts):
+        off_expr = (F.when(F.col("_bkt") == bkt, F.lit(acc))
+                    .otherwise(off_expr))
+        acc += counts[bkt]
+    win = Window.partitionBy("_bkt").orderBy("shuffle_key", id_col)
+    return (keyed
+            .withColumn("position",
+                        (off_expr + F.row_number().over(win) - 1)
+                        .cast("long"))
+            .drop("_bkt"))
+
+
+def take_token_budget(docs: DataFrame, budgets: Dict[str, int],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      token_col: str = "n_tokens",
+                      salt: str = "budget:",
+                      num_ranges: int = 64) -> DataFrame:
+    """Per-source token budgeting: keep a deterministic pseudo-random
+    subset of each source totalling (up to) ``budgets[source]`` tokens —
+    the "X billion tokens of web, Y of code" step of a mix recipe, stated
+    in tokens rather than the row fractions ``stratified_sample`` takes.
+
+    Documents are ordered by the portable sampling hash (ties by id) and
+    taken while the source's exclusive running token sum is below its
+    budget, so the LAST kept document may overrun by part of itself —
+    the same boundary policy as ``pack_sequences`` (cut/pad is the
+    trainer's concern; the kept SET is what must be deterministic).
+    Sources absent from ``budgets`` are dropped.  Returns
+    ``(id, <strata>, n_tokens, tokens_before)``.
+
+    Scale shape: a per-source ORDER BY window would put each source in
+    ONE partition — dead when one source is most of the corpus.  The
+    uniform hash key again gives fixed equal-width buckets: per
+    ``(source, bucket)`` token totals (``|sources| * num_ranges`` rows,
+    bounded because the mix's source dimension is managed and small)
+    become literal offsets, and the running sum is bucket-local.  One
+    narrow shuffle on ``(source, bucket)``, parallel across both."""
+    from pyspark.sql import Window
+
+    for name, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for stratum {name!r} must be >= 0, "
+                             f"got {b}")
+    width = POLY_MOD // num_ranges + 1
+    base = (docs.select(F.col(id_col).alias("id"),
+                        F.col(strata_col).alias("_stratum"),
+                        F.col(token_col).alias("n_tokens"))
+            .filter(F.col("_stratum").isin(*budgets.keys()))
+            .withColumn("_h", _sample_hash("id", salt))
+            .withColumn("_bkt", (F.col("_h") / width).cast("int")))
+    totals = {(r["_stratum"], r["_bkt"]): r["tot"] for r in
+              base.groupBy("_stratum", "_bkt")
+              .agg(F.sum("n_tokens").alias("tot")).collect()}
+    offsets, acc = {}, {}
+    for src, bkt in sorted(totals):
+        offsets[(src, bkt)] = acc.get(src, 0)
+        acc[src] = acc.get(src, 0) + totals[(src, bkt)]
+    off_expr = F.lit(0).cast("long")
+    for (src, bkt), off in offsets.items():
+        off_expr = (F.when((F.col("_stratum") == src)
+                           & (F.col("_bkt") == bkt), F.lit(int(off)))
+                    .otherwise(off_expr))
+    budget_expr = F.lit(-1).cast("long")
+    for name in sorted(budgets):
+        budget_expr = (F.when(F.col("_stratum") == name,
+                              F.lit(int(budgets[name])))
+                       .otherwise(budget_expr))
+    win = (Window.partitionBy("_stratum", "_bkt").orderBy("_h", "id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base
+            .withColumn("tokens_before",
+                        (off_expr + F.sum("n_tokens").over(win)
+                         - F.col("n_tokens")).cast("long"))
+            .filter(F.col("tokens_before") < budget_expr)
+            .select("id", F.col("_stratum").alias(strata_col),
+                    "n_tokens", "tokens_before"))
 
 
 def corpus_prep(docs: DataFrame, benchmark: DataFrame,

@@ -528,3 +528,91 @@ def test_chunk_documents_invariants(spark):
         chunk_documents(df, size=0)
     with _pytest.raises(ValueError):
         chunk_documents(df, size=10, stride=11)
+
+
+def test_upsample_below_one_equals_stratified_sample(spark):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        upsample_stratified)
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(400)], "doc_id long, source string")
+    fr = {"src0": 0.5, "src1": 1.0}       # src2 -> default 0.0
+    want = {r["doc_id"] for r in stratified_sample(df, fr).collect()}
+    got = [(r["doc_id"], r["copy_idx"])
+           for r in upsample_stratified(df, fr).collect()]
+    assert {d for d, _ in got} == want    # identical keep SET
+    assert all(c == 0 for _, c in got)    # and exactly one copy each
+
+
+def test_upsample_fractional_copies(spark):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        upsample_stratified)
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(1000)], "doc_id long, source string")
+    rows = upsample_stratified(df, {"web": 2.5}).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert set(per_doc) == set(range(1000))          # every doc kept
+    for d, copies in per_doc.items():
+        assert sorted(copies) == list(range(len(copies)))  # dense 0..k-1
+        assert len(copies) in (2, 3)
+    mean = sum(len(c) for c in per_doc.values()) / 1000
+    assert 2.4 < mean < 2.6                           # ~f in expectation
+    # integer fraction has no hash-gated copy: exactly k everywhere
+    exact = upsample_stratified(df, {"web": 2.0}).groupBy("doc_id").count()
+    assert {r["count"] for r in exact.collect()} == {2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fraction"):
+        upsample_stratified(df, {"web": -0.5})
+
+
+def test_training_order_is_dense_permutation_and_matches_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pysemanticcomplexity_spark.operators.corpus import training_order
+    df = spark.createDataFrame([(i,) for i in range(700)], "doc_id long")
+    got = training_order(df, num_ranges=8).collect()
+    # dense 0-based permutation, ordered by (shuffle_key, id)
+    assert sorted(r["position"] for r in got) == list(range(700))
+    srt = sorted(got, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["position"] for r in srt] == list(range(700))
+    # two-phase bucketed rank == the naive single-partition global window
+    naive = training_order(df, num_ranges=1).collect()
+    assert ({r["doc_id"]: r["position"] for r in got}
+            == {r["doc_id"]: r["position"] for r in naive})
+    # a different salt draws a different permutation of the same ids
+    other = training_order(df, salt="epoch2:", num_ranges=8).collect()
+    assert ({r["doc_id"]: r["position"] for r in other}
+            != {r["doc_id"]: r["position"] for r in got})
+
+
+def test_take_token_budget_semantics(spark):
+    from pysemanticcomplexity_spark.operators.corpus import (
+        take_token_budget)
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", 10 + i % 7) for i in range(600)],
+        "doc_id long, source string, n_tokens long")
+    budgets = {"src0": 500, "src1": 123}
+    rows = take_token_budget(df, budgets, num_ranges=8).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(budgets)        # src2 dropped entirely
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["tokens_before"])
+        run = 0
+        for r in rs:
+            assert r["tokens_before"] == run  # contiguous prefix sums
+            run += r["n_tokens"]
+        # every kept doc started under budget; nothing else would fit
+        assert rs[-1]["tokens_before"] < budgets[src]
+        assert run >= budgets[src]            # budget actually exhausted
+    # two-phase bucketed == single-bucket naive window
+    naive = {(r["doc_id"], r["tokens_before"]) for r in
+             take_token_budget(df, budgets, num_ranges=1)
+             .withColumnRenamed("id", "doc_id").collect()}
+    got = {(r["id"], r["tokens_before"]) for r in rows}
+    assert {(d, t) for d, t in naive} == got
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        take_token_budget(df, {"src0": -1})
