@@ -103,3 +103,20 @@ def test_embedding_near_dups_no_second_vector_join(spark):
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                    "BroadcastNestedLoopJoin", "CartesianProduct"))
     assert n_joins == 1, plan
+
+
+def test_mix_recipe_plan_shapes(spark):
+    """upsample = row-local (zero exchanges); the two ranked ops pay
+    exactly ONE narrow shuffle (their fixed-width hash buckets), never a
+    global single-partition window."""
+    from pysemanticcomplexity_spark.operators.corpus import (
+        take_token_budget, training_order, upsample_stratified)
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", 10 + i % 7) for i in range(300)],
+        "doc_id long, source string, n_tokens long")
+    up = upsample_stratified(df, {"src0": 2.5, "src1": 1.0})
+    assert plans.count_shuffles(up) == 0
+    assert "Generate explode" in plans.executed_plan(up)
+    assert plans.count_shuffles(training_order(df, num_ranges=8)) == 1
+    assert plans.count_shuffles(
+        take_token_budget(df, {"src0": 500}, num_ranges=8)) == 1
