@@ -120,6 +120,32 @@ def main():
         fmt(q["C3_pack_sequences"](spark, sf))))
 
     sections.append((
+        "C4_upsample (temperature resampling, fractions above 1)",
+        "Row-local: one codegen'd Filter (floor(f) + hash-gated "
+        "fractional copy count) feeding Generate explode(sequence) — "
+        "zero exchanges, streaming-legal; output rows grow by exactly "
+        "the mix's expansion factor.",
+        fmt(q["C4_upsample"](spark, sf))))
+
+    sections.append((
+        "C5_training_order (deterministic dense epoch shuffle)",
+        "The dense global permutation without a single-partition window: "
+        "the affine sampling hash is uniform on [0, POLY_MOD), so FIXED "
+        "equal-width key ranges are balanced with no sampling pass — "
+        "per-bucket row counts become literal offsets and the Window is "
+        "partitioned by bucket. ONE narrow shuffle on the bucket id.",
+        fmt(q["C5_training_order"](spark, sf))))
+
+    sections.append((
+        "C6_token_budget (per-source token budgeting)",
+        "Same two-phase shape per (source, hash-bucket): the source "
+        "filter is pushed to the scan, per-(source,bucket) token totals "
+        "fold back as literal offsets, and the running sum is bucket-"
+        "local — a 90%-one-source corpus still parallelizes across its "
+        "buckets instead of serializing in one per-source partition.",
+        fmt(q["C6_token_budget"](spark, sf))))
+
+    sections.append((
         "L2_pos_lexical (POS-dependent lexical features)",
         "No Expand node: the 12 conditional count-distincts are rewritten "
         "as bool_or type-flags + token sums per (id, word), then per-id "
