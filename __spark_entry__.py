@@ -677,6 +677,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return line_dedup(d, min_len=20)
     q["D8_line_dedup"] = d8_line_dedup
 
+    def d9_dup_spans(spark, sf_dir):
+        # span-level dedup (Lee et al. 2022 re-expressed as fingerprints):
+        # >=2-doc n-gram occurrences merged to maximal per-doc intervals
+        from pysemanticcomplexity_spark.operators.dedup import (
+            duplicate_spans)
+        return duplicate_spans(_docs(spark, sf_dir), n=8, min_docs=2) \
+            .select(F.col("id").alias("doc_id"), "tok_start", "tok_len")
+    q["D9_dup_spans"] = d9_dup_spans
+
+    def d9b_span_stats(spark, sf_dir):
+        # the per-document retention signal over the merged spans
+        from pysemanticcomplexity_spark.operators.dedup import (
+            duplicate_span_stats)
+        return duplicate_span_stats(_docs(spark, sf_dir), n=8, min_docs=2) \
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    "n_dup_tokens", "dup_frac")
+    q["D9b_span_stats"] = d9b_span_stats
+
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
             embedding_near_dups_bruteforce)
@@ -3409,6 +3427,56 @@ SELECT id, CAST(st / 256 AS BIGINT) AS chunk_idx,
        CAST(st AS BIGINT) AS tok_start,
        CAST(least(512, n_tokens - st) AS BIGINT) AS tok_len
 FROM c
+"""
+
+    # D9: span-level dedup — per-token poly hashes combined per gram
+    # (the engine's two-level hash replayed exactly), >=2 distinct docs
+    # per hash, gaps-and-islands interval merge
+    tokh = poly_fold.format(col="s")
+    _d9_base = f"""
+t AS (
+  SELECT doc_id AS id,
+         str_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents),
+th AS (
+  SELECT id, len(toks) AS nt,
+         list_transform(toks, s -> {tokh}) AS ths
+  FROM t),
+g AS (
+  SELECT id, CAST(j - 1 AS BIGINT) AS pos,
+         ((((((((((((((((CAST(0 AS BIGINT) * 1000003 + ths[j+0]) % 1000000007) * 1000003 + ths[j+1]) % 1000000007) * 1000003 + ths[j+2]) % 1000000007) * 1000003 + ths[j+3]) % 1000000007) * 1000003 + ths[j+4]) % 1000000007) * 1000003 + ths[j+5]) % 1000000007) * 1000003 + ths[j+6]) % 1000000007) * 1000003 + ths[j+7]) % 1000000007) AS h
+  FROM th, unnest(generate_series(1, nt - 7)) u(j)
+  WHERE nt >= 8),
+dh AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT id) >= 2),
+f AS (SELECT g.id, g.pos FROM g JOIN dh USING (h)),
+m AS (
+  SELECT id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM f),
+i AS (
+  SELECT id, pos, sum(brk) OVER (PARTITION BY id ORDER BY pos) AS isl
+  FROM m),
+spans AS (
+  SELECT id, CAST(min(pos) AS BIGINT) AS tok_start,
+         CAST(max(pos) + 8 - min(pos) AS BIGINT) AS tok_len
+  FROM i GROUP BY id, isl)"""
+    o["D9_dup_spans"] = f"""
+WITH {_d9_base}
+SELECT id AS doc_id, tok_start, tok_len FROM spans
+"""
+    o["D9b_span_stats"] = f"""
+WITH {_d9_base},
+dtot AS (SELECT id, sum(tok_len) AS n_dup_tokens FROM spans GROUP BY id)
+SELECT t.id AS doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(d.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN round(coalesce(d.n_dup_tokens, 0) * 1.0 / len(t.toks), 9)
+            ELSE 0.0 END AS dup_frac
+FROM t LEFT JOIN dtot d ON d.id = t.id
 """
 
     # C4/C5/C6: the mix-recipe trio over the same portable sampling hash

@@ -104,7 +104,7 @@ def main():
                  "D5b_lsh_neardup", "T2_quality_score",
                  "T3_fingerprint", "C1_contamination", "E2E_corpus_prep",
                  "QF4_model_quality", "C3b_pack_split",
-                 "C4_upsample", "C6_token_budget",
+                 "C4_upsample", "C6_token_budget", "D9b_span_stats",
                  "L2_pos_lexical", "L3b_syntactic_text"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())

@@ -74,12 +74,15 @@ def reliable_checkpointer(sc, checkpoint_dir):
         if prev_dir is not None:
             sc.setCheckpointDir(prev_dir)
 
+SPAN_COMBINE = 1_000_003  # gram-level multiplier of the two-level span hash
+
 __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
            "simhash", "simhash_rowlocal", "simhash_blocks",
            "simhash_candidate_pairs", "embedding_near_dups",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
-           "fuzzy_dedup_retained", "line_dedup", "reliable_checkpointer"]
+           "fuzzy_dedup_retained", "line_dedup", "ngram_span_hashes",
+           "duplicate_spans", "duplicate_span_stats", "reliable_checkpointer"]
 
 
 def normalize_text(col) -> F.Column:
@@ -667,3 +670,134 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                     "n_lines",
                     F.coalesce("n_lines_kept", F.lit(0)).cast("long")
                     .alias("n_lines_kept")))
+
+
+def ngram_span_hashes(docs: DataFrame, n: int = 20, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      hash_fn: str = "poly",
+                      stride: int = 1) -> DataFrame:
+    """(id, pos, h): the hash of the ``n``-token gram starting at 0-based
+    token position ``pos`` of the normalized token stream — the positional
+    sibling of :func:`shingles` (which emits DISTINCT gram strings and
+    forgets where they were).  ``stride > 1`` hashes only positions
+    divisible by it — the winnowing-style knob that divides the shuffle
+    volume by ``stride`` at the cost of span-boundary granularity.
+
+    The hash is TWO-LEVEL: each token is char-folded once per document,
+    and a gram combines its ``n`` token-hashes with an integer fold
+    (``acc*SPAN_COMBINE + tok_h``) — overlapping grams never re-hash
+    characters.  ``hash_fn='poly'`` keeps both levels mod POLY_MOD
+    (DuckDB replays them bit-for-bit — the oracle path); ``'xxhash64'``
+    token-hashes with xxhash64 and combines in plain wrapping 64-bit
+    arithmetic, the cheaper production form.  Collisions conflate grams with probability
+    ~1/POLY_MOD (resp. 2^-64) per pair — acceptable for span flagging,
+    same contract as the minhash family.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if hash_fn not in ("poly", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # two-level hash: every token is char-folded ONCE per document, then a
+    # gram combines its n token-hashes with integer ops — ~avg-token-len x
+    # cheaper per position than hashing the gram STRING, and no per-gram
+    # string allocation at all (grams overlap n-fold; the naive form
+    # re-hashes every character n times)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda t: poly_hash_expr(t) if hash_fn == "poly"
+                    else F.xxhash64(t)).alias("_th"))
+    idx = F.when(F.size("_th") >= n,
+                 F.sequence(F.lit(0), F.size("_th") - n, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def gram_hash(i):
+        g = F.lit(0).cast("long")
+        for j in range(n):
+            g = g * F.lit(SPAN_COMBINE) + F.element_at("_th", i + j + 1)
+            if hash_fn == "poly":
+                g = g % F.lit(POLY_MOD)   # portable: stays in [0, p)
+            # xxhash64: plain 64-bit wrapping arithmetic, JVM-side only
+        return g
+
+    return (base.select("id", F.explode(idx).alias("pos"), "_th")
+            .select("id", F.col("pos").cast("long").alias("pos"),
+                    gram_hash(F.col("pos")).alias("h")))
+
+
+def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    hash_fn: str = "poly", stride: int = 1) -> DataFrame:
+    """Cross-document duplicated token spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``n``-token gram occurring in at least ``min_docs`` DISTINCT documents
+    is a duplicated span; overlapping/adjacent flagged grams within a
+    document are merged into maximal intervals.  This is the SPAN level
+    of the dedup family — between ``line_dedup`` (structural lines) and
+    the whole-document operators — and the signal RefinedWeb-style
+    pipelines threshold on.  Returns ``(id, tok_start, tok_len)`` merged
+    intervals in token coordinates (the shared normalized token model).
+
+    Within-document repetition alone does NOT flag a span (that is
+    ``repetition_stats``'s job): the count is over distinct documents.
+
+    Scale shape (the suffix-array construction of the paper is a
+    single-machine algorithm; this is its fingerprint re-expression):
+    one token-linear explode (~20 B/token rows; ``stride`` divides it),
+    ONE partial-aggregated count-distinct per gram hash, an equi-join of
+    the positional rows against the qualifying hashes, and a per-document
+    interval merge (Window partitioned by doc — bounded by document
+    length, never corpus-sized).  A boilerplate gram in millions of
+    documents is one hash row after partial aggregation — no hub blowup.
+    """
+    from pyspark.sql import Window
+
+    spans = ngram_span_hashes(docs, n, id_col=id_col, text_col=text_col,
+                              hash_fn=hash_fn, stride=stride)
+    dup_h = (spans.groupBy("h")
+             .agg(F.count_distinct("id").alias("_nd"))
+             .filter(F.col("_nd") >= min_docs)
+             .select("h"))
+    flagged = spans.join(dup_h, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (flagged.withColumn("_isl", island)
+            .groupBy("id", "_isl")
+            .agg(F.min("pos").alias("tok_start"),
+                 (F.max("pos") + n - F.min("pos")).alias("tok_len"))
+            .select("id", F.col("tok_start").cast("long"),
+                    F.col("tok_len").cast("long")))
+
+
+def duplicate_span_stats(docs: DataFrame, n: int = 20, min_docs: int = 2, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         hash_fn: str = "poly",
+                         stride: int = 1) -> DataFrame:
+    """Per-document duplicated-token accounting over
+    :func:`duplicate_spans`: ``(id, n_tokens, n_dup_tokens, dup_frac)``
+    for EVERY input document (0/0.0 when nothing is flagged) — the
+    retention signal ("drop documents with more than X% duplicated
+    tokens") stated as one joinable table.  ``dup_frac`` is exact over
+    the merged intervals, so nested/overlapping grams are not double
+    counted."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        .cast("long").alias("n_tokens"))
+    dup = (duplicate_spans(docs, n, min_docs, id_col=id_col,
+                           text_col=text_col, hash_fn=hash_fn,
+                           stride=stride)
+           .groupBy("id").agg(F.sum("tok_len").alias("n_dup_tokens")))
+    return (toks.join(dup, "id", "left")
+            .select("id", "n_tokens",
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("long")
+                    .alias("n_dup_tokens"))
+            .withColumn("dup_frac",
+                        F.when(F.col("n_tokens") > 0,
+                               F.round(F.col("n_dup_tokens")
+                                       / F.col("n_tokens"), 9))
+                        .otherwise(F.lit(0.0))))

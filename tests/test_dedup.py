@@ -471,3 +471,69 @@ def test_simhash_rejects_out_of_range_bits(spark, docs):
             dedup.simhash_rowlocal(docs, n_bits=65, hash_fn=fn)
     with _pytest.raises(ValueError, match="n_bits"):
         dedup.simhash(docs, n_bits=0)
+
+
+def _py_dup_spans(texts, n, min_docs, stride=1):
+    """Pure-python reference: gram -> set of docs; merged intervals."""
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    grams = {}
+    for i, tk in toks.items():
+        for j in range(0, len(tk) - n + 1, stride):
+            grams.setdefault(tuple(tk[j:j + n]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= min_docs}
+    out = {}
+    for i, tk in toks.items():
+        pos = [j for j in range(0, len(tk) - n + 1, stride)
+               if tuple(tk[j:j + n]) in dup]
+        merged = []
+        for p in pos:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + n)
+            else:
+                merged.append([p, p + n])
+        out[i] = [(a, b - a) for a, b in merged]
+    return out
+
+
+def test_duplicate_spans_matches_python(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    texts = {
+        0: f"intro one two three {shared} tail zero",
+        1: f"other start {shared} different ending here",
+        2: "completely unrelated text with no overlap at all",
+        3: f"{shared} {shared} twice",          # cross-doc AND self-repeat
+        4: "self self self self self self self self self only",  # self only
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    for n, stride in ((5, 1), (4, 2)):
+        got = {}
+        for r in dedup.duplicate_spans(df, n=n, min_docs=2,
+                                       stride=stride).collect():
+            got.setdefault(r["id"], []).append((r["tok_start"], r["tok_len"]))
+        want = {i: v for i, v in
+                _py_dup_spans(texts, n, 2, stride).items() if v}
+        assert {k: sorted(v) for k, v in got.items()} == want, (n, stride)
+    # doc 4 repeats only within itself: min_docs=2 must NOT flag it
+    assert 4 not in {r["id"] for r in
+                     dedup.duplicate_spans(df, n=5, min_docs=2).collect()}
+
+
+def test_duplicate_span_stats_accounting(spark):
+    shared = "w x y z a b c d"
+    df = spark.createDataFrame(
+        [(0, f"{shared} unique tail piece"),
+         (1, f"lead in {shared}"),
+         (2, "nothing shared here at all truly")],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in
+           dedup.duplicate_span_stats(df, n=8, min_docs=2).collect()}
+    assert set(got) == {0, 1, 2}                 # every doc gets a row
+    assert got[0]["n_dup_tokens"] == 8 and got[0]["n_tokens"] == 11
+    assert got[1]["n_dup_tokens"] == 8 and got[1]["n_tokens"] == 10
+    assert got[2]["n_dup_tokens"] == 0 and got[2]["dup_frac"] == 0.0
+    assert abs(got[0]["dup_frac"] - 8 / 11) < 1e-8
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        dedup.ngram_span_hashes(df, n=4, stride=0)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dedup.ngram_span_hashes(df, n=4, hash_fn="nope")
