@@ -120,6 +120,17 @@ def main():
         fmt(q["C3_pack_sequences"](spark, sf))))
 
     sections.append((
+        "D9b_span_stats (cross-document duplicated n-gram spans)",
+        "Two-level hash inside the scan stage (per-token char fold once, "
+        "gram combine = integer ops over n token-hashes — no per-gram "
+        "string), then ONE partial-aggregated count-distinct per gram "
+        "hash, the equi-join back to positions, and a per-document "
+        "Window (bounded by doc length) for the gaps-and-islands "
+        "interval merge. The hub case — a boilerplate gram in millions "
+        "of docs — is one row after partial aggregation.",
+        fmt(q["D9b_span_stats"](spark, sf))))
+
+    sections.append((
         "C4_upsample (temperature resampling, fractions above 1)",
         "Row-local: one codegen'd Filter (floor(f) + hash-gated "
         "fractional copy count) feeding Generate explode(sequence) — "
