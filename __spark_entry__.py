@@ -184,9 +184,11 @@ DRIVER_WINDOW = [
     "D8_line_dedup",
     # similarity family
     "S1_cosine_topk", "S2_lsh_topk", "S3_ivf_topk",
-    # corpus prep family
-    "C1_contamination", "C1b_contamination_rowlocal", "C2_stratified_sample",
-    "C3_pack_sequences", "C3b_pack_split", "E2E_corpus_prep",
+    # corpus prep family (C1b kernel==join and C3b split-packing pins sit
+    # past the window — C1/C3 rep those shapes; the slots go to the new
+    # span-dedup and token-budget sub-families)
+    "C1_contamination", "D9b_span_stats", "C2_stratified_sample",
+    "C3_pack_sequences", "C6_token_budget", "E2E_corpus_prep",
     # lexical, multimodal, text/quality, urls (MM1's byte-meta check and
     # MM2's single-codec row sit past the window: MM_decode_suite covers
     # every decoder at 2000 rows, so the multimodal family stays hash-graded)
