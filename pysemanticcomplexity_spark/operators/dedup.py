@@ -82,7 +82,8 @@ __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "simhash_candidate_pairs", "embedding_near_dups",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
            "fuzzy_dedup_retained", "line_dedup", "ngram_span_hashes",
-           "duplicate_spans", "duplicate_span_stats", "reliable_checkpointer"]
+           "duplicate_gram_positions", "duplicate_spans",
+           "duplicate_span_stats", "reliable_checkpointer"]
 
 
 def normalize_text(col) -> F.Column:
@@ -725,6 +726,25 @@ def ngram_span_hashes(docs: DataFrame, n: int = 20, *,
                     gram_hash(F.col("pos")).alias("h")))
 
 
+def duplicate_gram_positions(docs: DataFrame, n: int = 20,
+                             min_docs: int = 2, *,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             hash_fn: str = "poly",
+                             stride: int = 1) -> DataFrame:
+    """Raw flagged gram occurrences ``(id, pos)``: every position whose
+    gram hash occurs in at least ``min_docs`` DISTINCT documents (the
+    pre-merge stage of :func:`duplicate_spans`, exposed because the
+    streaming operator emits exactly this row shape).  One
+    partial-aggregated count-distinct per hash + an equi-join back."""
+    spans = ngram_span_hashes(docs, n, id_col=id_col, text_col=text_col,
+                              hash_fn=hash_fn, stride=stride)
+    dup_h = (spans.groupBy("h")
+             .agg(F.count_distinct("id").alias("_nd"))
+             .filter(F.col("_nd") >= min_docs)
+             .select("h"))
+    return spans.join(dup_h, "h").select("id", "pos")
+
+
 def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2, *,
                     id_col: str = "doc_id", text_col: str = "text",
                     hash_fn: str = "poly", stride: int = 1) -> DataFrame:
@@ -752,13 +772,9 @@ def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2, *,
     """
     from pyspark.sql import Window
 
-    spans = ngram_span_hashes(docs, n, id_col=id_col, text_col=text_col,
-                              hash_fn=hash_fn, stride=stride)
-    dup_h = (spans.groupBy("h")
-             .agg(F.count_distinct("id").alias("_nd"))
-             .filter(F.col("_nd") >= min_docs)
-             .select("h"))
-    flagged = spans.join(dup_h, "h").select("id", "pos")
+    flagged = duplicate_gram_positions(docs, n, min_docs, id_col=id_col,
+                                       text_col=text_col, hash_fn=hash_fn,
+                                       stride=stride)
     w = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1))

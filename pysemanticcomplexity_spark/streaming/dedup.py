@@ -15,6 +15,10 @@ online, not as a batch afterthought. Two shapes:
   ``applyInPandasWithState`` operator (custom state: count + first id),
   emitting updated (text_key, n_seen, keep_id) rows each batch — the
   streaming analogue of the batch exact-dedup *aggregate*.
+* ``streaming_dup_span_positions`` — online SPAN-level dedup keyed by
+  gram hash; pending occurrences are held in state until the gram
+  crosses ``min_docs`` distinct documents, then emitted retroactively —
+  union over batches == the batch operator exactly.
 
 Watermark caveat (standard Structured Streaming semantics, observed
 empirically): rows older than ``max(event time seen) - watermark`` are
@@ -35,7 +39,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.dedup import exact_key_cols, simhash_blocks, simhash_rowlocal
 
 __all__ = ["streaming_exact_dedup", "streaming_dup_counts",
-           "streaming_simhash_pairs"]
+           "streaming_simhash_pairs", "streaming_dup_span_positions"]
 
 
 def streaming_exact_dedup(stream: DataFrame, ts_col: str = "warc_ts",
@@ -181,3 +185,78 @@ def streaming_simhash_pairs(fp_dir: str, pairs_dir: str, *,
             fps_new.unpersist()
 
     return process
+
+
+_SPAN_STATE = T.StructType([
+    T.StructField("open", T.BooleanType(), False),
+    T.StructField("pend_ids", T.ArrayType(T.LongType()), False),
+    T.StructField("pend_pos", T.ArrayType(T.LongType()), False),
+])
+
+_SPAN_OUT = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("pos", T.LongType(), False),
+])
+
+
+def streaming_dup_span_positions(stream: DataFrame, n: int = 8,
+                                 min_docs: int = 2,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 hash_fn: str = "poly",
+                                 stride: int = 1) -> DataFrame:
+    """Online span-level dedup: the streaming form of the batch
+    ``duplicate_gram_positions`` as a CUSTOM STATEFUL operator —
+    ``applyInPandasWithState`` keyed by the gram hash.
+
+    State per gram: an ``open`` flag plus the PENDING occurrences seen
+    while the gram was still below ``min_docs`` distinct documents.  When
+    a batch pushes the distinct-doc count over the threshold, the pending
+    occurrences are emitted RETROACTIVELY together with the new ones and
+    the state collapses to the flag alone; once open, later occurrences
+    stream straight through.  The union of emissions over any batch split
+    therefore equals the batch operator's flagged ``(id, pos)`` set
+    EXACTLY (tested) — no cross-batch dup is lost and nothing is emitted
+    twice.
+
+    State size: one row per DISTINCT still-closed gram, each holding at
+    most ``min_docs - 1`` documents' occurrences; open grams store two
+    empty arrays.  The row-local explode before the state op is the same
+    token-linear stream the batch op shuffles — the state exchange IS
+    that shuffle, paid incrementally per batch.  Update output mode."""
+
+    from ..operators.dedup import ngram_span_hashes
+
+    spans = (ngram_span_hashes(stream, n, id_col=id_col, text_col=text_col,
+                               hash_fn=hash_fn, stride=stride)
+             .filter(F.col("id").isNotNull()))
+
+    def update(key, pdfs, state: GroupState):
+        ids, poss = [], []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["id"])
+            poss.extend(int(x) for x in pdf["pos"])
+        if state.exists:
+            is_open, pend_ids, pend_pos = state.get
+            pend_ids, pend_pos = list(pend_ids), list(pend_pos)
+        else:
+            is_open, pend_ids, pend_pos = False, [], []
+        if is_open:
+            out_ids, out_pos = ids, poss
+        else:
+            pend_ids.extend(ids)
+            pend_pos.extend(poss)
+            if len(set(pend_ids)) >= min_docs:
+                is_open, out_ids, out_pos = True, pend_ids, pend_pos
+                pend_ids, pend_pos = [], []
+            else:
+                out_ids, out_pos = [], []
+        state.update((is_open, pend_ids, pend_pos))
+        if out_ids:
+            yield pd.DataFrame({"id": out_ids, "pos": out_pos})
+
+    return (spans.groupBy("h")
+            .applyInPandasWithState(update, outputStructType=_SPAN_OUT,
+                                    stateStructType=_SPAN_STATE,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

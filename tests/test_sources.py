@@ -262,3 +262,59 @@ def test_windowed_cents_half_cent_boundary(spark):
     # 8.845 -> 885, 0.005 -> 1 (round(0.4999..) was 0), 2.10 -> 210
     assert out[0]["value_sum_cents"] == 885 + 1 + 210
     assert out[0]["n"] == 3
+
+
+def test_streaming_dup_spans_equal_batch(spark, tmp_path):
+    """Custom stateful span dedup: pending occurrences are emitted
+    retroactively at the min_docs crossing, so the union of emissions over
+    an arbitrary batch split equals the BATCH flagged (id, pos) set
+    exactly — including the doc that arrived before its gram was known to
+    be duplicated."""
+    from pysemanticcomplexity_spark.operators.dedup import (
+        duplicate_gram_positions)
+    from pysemanticcomplexity_spark.streaming.dedup import (
+        streaming_dup_span_positions)
+
+    shared = "alpha bravo charlie delta echo"
+    b1 = [(0, f"start {shared} end one"),
+          (1, "totally different text here now")]
+    b2 = [(2, f"prefix {shared} suffix two"),        # crosses min_docs=2
+          (3, f"again {shared} third copy"),         # already open
+          (4, "still nothing shared anywhere here")]
+    schema = "doc_id long, text string"
+
+    src = tmp_path / "span_src"
+    out = str(tmp_path / "span_out")
+    chk = str(tmp_path / "span_chk")
+    src.mkdir()
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src) + "/*"))
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (streaming_dup_span_positions(stream, n=5, min_docs=2)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", chk)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+    drain()
+    # nothing duplicated yet: no emissions in batch 1
+    import os
+    got1 = (spark.read.parquet(out).count()
+            if os.path.exists(out) else 0)
+    assert got1 == 0
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+    drain()                                 # resumes from checkpoint state
+
+    got = {(r["id"], r["pos"]) for r in spark.read.parquet(out).collect()}
+    batch_docs = spark.createDataFrame(b1 + b2, schema)
+    want = {(r["id"], r["pos"]) for r in
+            duplicate_gram_positions(batch_docs, n=5, min_docs=2).collect()}
+    assert got == want
+    assert {i for i, _ in got} == {0, 2, 3}   # doc 0 flagged retroactively
