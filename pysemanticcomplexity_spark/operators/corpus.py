@@ -204,14 +204,10 @@ def pack_sequences(docs: DataFrame, capacity: int,
     totals = {r["_bkt"]: r["tot"] for r in
               bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("tot"))
               .collect()}
-    offsets, acc = {}, 0
-    for bkt in sorted(totals):          # buckets are id-ordered by value
-        offsets[bkt] = acc
-        acc += totals[bkt]
-    off_expr = F.lit(0).cast("long")
-    for bkt in sorted(offsets):
-        off_expr = (F.when(F.col("_bkt") == bkt, F.lit(int(offsets[bkt])))
-                    .otherwise(off_expr))
+    # buckets are id-ordered by value, so sorted-key prefix sums are the
+    # global offsets
+    off_expr = _offset_expr(_cumulative_offsets(totals),
+                            lambda b: F.col("_bkt") == b)
     win = Window.partitionBy("_bkt").orderBy("id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (bucketed
@@ -330,14 +326,35 @@ def stratified_sample(docs: DataFrame, fractions: Dict[str, float],
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], "
                          f"got {default_fraction}")
-    h0 = poly_hash_expr(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    h = ((h0 * SAMPLE_A + SAMPLE_B) % POLY_MOD) % SAMPLE_DENOM
+    h = _sample_hash(id_col, salt) % SAMPLE_DENOM
     threshold = F.lit(int(round(default_fraction * SAMPLE_DENOM)))
     for name in sorted(fractions):
         threshold = (F.when(F.col(strata_col) == name,
                             F.lit(int(round(fractions[name] * SAMPLE_DENOM))))
                      .otherwise(threshold))
     return docs.filter(h < threshold)
+
+
+def _cumulative_offsets(totals: Dict) -> Dict:
+    """Exclusive prefix sums of per-bucket totals in sorted key order —
+    the driver-side half of every two-phase bucketed window in this
+    module.  Tuple keys accumulate within their leading group (all but
+    the last element), so (source, bucket) keys restart per source."""
+    offsets, acc = {}, {}
+    for k in sorted(totals):
+        grp = k[:-1] if isinstance(k, tuple) else None
+        offsets[k] = acc.get(grp, 0)
+        acc[grp] = acc.get(grp, 0) + totals[k]
+    return offsets
+
+
+def _offset_expr(offsets: Dict, cond_fn) -> F.Column:
+    """Fold driver-computed literal offsets into one chained-when Column
+    (``cond_fn(key) -> Column`` selects the bucket's rows)."""
+    e = F.lit(0).cast("long")
+    for k, off in offsets.items():
+        e = F.when(cond_fn(k), F.lit(int(off))).otherwise(e)
+    return e
 
 
 def _sample_hash(id_col: str, salt: str) -> F.Column:
@@ -421,17 +438,20 @@ def training_order(docs: DataFrame, id_col: str = "doc_id",
     ``pack_sequences``, one narrow shuffle, parallel across buckets."""
     from pyspark.sql import Window
 
+    if num_ranges < 1:
+        raise ValueError(f"num_ranges must be >= 1, got {num_ranges}")
     width = POLY_MOD // num_ranges + 1
-    keyed = (docs.withColumn("shuffle_key", _sample_hash(id_col, salt))
+    # NULL ids cannot be ordered (and would surface as a None bucket key in
+    # the driver-side offset sort) — dropped, same policy as the sampler
+    # hash which never passes NULL
+    keyed = (docs.filter(F.col(id_col).isNotNull())
+             .withColumn("shuffle_key", _sample_hash(id_col, salt))
              .withColumn("_bkt", (F.col("shuffle_key") / width)
                          .cast("int")))
     counts = {r["_bkt"]: r["n"] for r in
               keyed.groupBy("_bkt").agg(F.count("*").alias("n")).collect()}
-    off_expr, acc = F.lit(0).cast("long"), 0
-    for bkt in sorted(counts):
-        off_expr = (F.when(F.col("_bkt") == bkt, F.lit(acc))
-                    .otherwise(off_expr))
-        acc += counts[bkt]
+    off_expr = _offset_expr(_cumulative_offsets(counts),
+                            lambda b: F.col("_bkt") == b)
     win = Window.partitionBy("_bkt").orderBy("shuffle_key", id_col)
     return (keyed
             .withColumn("position",
@@ -471,25 +491,22 @@ def take_token_budget(docs: DataFrame, budgets: Dict[str, int],
         if b < 0:
             raise ValueError(f"budget for stratum {name!r} must be >= 0, "
                              f"got {b}")
+    if num_ranges < 1:
+        raise ValueError(f"num_ranges must be >= 1, got {num_ranges}")
     width = POLY_MOD // num_ranges + 1
     base = (docs.select(F.col(id_col).alias("id"),
                         F.col(strata_col).alias("_stratum"),
                         F.col(token_col).alias("n_tokens"))
+            .filter(F.col("id").isNotNull())
             .filter(F.col("_stratum").isin(*budgets.keys()))
             .withColumn("_h", _sample_hash("id", salt))
             .withColumn("_bkt", (F.col("_h") / width).cast("int")))
     totals = {(r["_stratum"], r["_bkt"]): r["tot"] for r in
               base.groupBy("_stratum", "_bkt")
               .agg(F.sum("n_tokens").alias("tot")).collect()}
-    offsets, acc = {}, {}
-    for src, bkt in sorted(totals):
-        offsets[(src, bkt)] = acc.get(src, 0)
-        acc[src] = acc.get(src, 0) + totals[(src, bkt)]
-    off_expr = F.lit(0).cast("long")
-    for (src, bkt), off in offsets.items():
-        off_expr = (F.when((F.col("_stratum") == src)
-                           & (F.col("_bkt") == bkt), F.lit(int(off)))
-                    .otherwise(off_expr))
+    off_expr = _offset_expr(
+        _cumulative_offsets(totals),
+        lambda k: (F.col("_stratum") == k[0]) & (F.col("_bkt") == k[1]))
     budget_expr = F.lit(-1).cast("long")
     for name in sorted(budgets):
         budget_expr = (F.when(F.col("_stratum") == name,
