@@ -170,13 +170,18 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW = [
     # KG core (SURVEY §2: P/S/A/G/M families)
     "P1_clean_text", "P2_P3_paragraphs", "P5_token_count", "P6_offset_window",
-    "S7_mentions_sql", "A1_distinct_uris", "A2_type_counts", "A3_link_counts",
+    "S7_mentions_sql", "A2_type_counts", "A3_link_counts",
     "A4_concept_info", "A5_last_wins_events", "G1_parents", "G2_closure",
-    "G3_triples_sql_model", "M_graph_density", "KG_types_per_doc",
+    "G3_triples_sql_model", "M_graph_density",
     "M8_linkstats_sql", "M9_namespace_counts",
-    # production pipeline + derived hash-grade checks
+    # production pipeline + derived hash-grade checks (A1_distinct_uris and
+    # KG_types_per_doc sit past the window: A2-A4 build on distinct uris and
+    # KG_features_checksum hash-grades per-doc type stats)
     "KG_pipeline_triples", "KG_pipeline_features", "KG_pipeline_triples_fused",
     "KG_pred_counts", "KG_triples_checksum", "KG_features_checksum",
+    # KG analytics: corpus-level entity graph (PMI edges + fixed-point
+    # PageRank, both bitwise-hash-graded)
+    "KG_entity_pmi", "KG_pagerank",
     # dedup family (D5 brute-force oracle sits past the window: D5b is the
     # production embedding-near-dup path and D8 the line-dedup family)
     "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh", "D4_simhash",
@@ -1340,6 +1345,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.regexp_extract("filename", r"/(\d+)$", 1).alias("url"), *cols)
     q["KG_features_checksum"] = kg_features_checksum
 
+    # ---- KG analytics: corpus-level entity graph ---------------------------
+    def kg_entity_pmi(spark, sf_dir):
+        # pmi = ln(pmi_ratio) is transcendental (per-libm bits) so the
+        # hash-graded projection keeps the exact-division ratio only; the
+        # log relation is pinned in tests/test_kg_analytics.py
+        from pysemanticcomplexity_spark.operators.kg_analytics import (
+            entity_cooccurrence)
+        return (entity_cooccurrence(_mentions_df(spark, sf_dir))
+                .select("src", "dst", "n_docs", "df_src", "df_dst",
+                        "pmi_ratio"))
+    q["KG_entity_pmi"] = kg_entity_pmi
+
+    def kg_pagerank(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.kg_analytics import (
+            entity_cooccurrence, pagerank_fixed_point, undirected_edges)
+        cooc = entity_cooccurrence(_mentions_df(spark, sf_dir))
+        return pagerank_fixed_point(undirected_edges(cooc), iters=3)
+    q["KG_pagerank"] = kg_pagerank
+
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
         # can replicate it bucket-for-bucket (the xxhash64 production default
@@ -2204,6 +2228,59 @@ SELECT url,
        CAST(sum(CASE WHEN starts_with(node, '{NS_PREFIXES[2]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_yago
 FROM nodes GROUP BY url
 """
+
+    # ---- KG analytics oracles ----------------------------------------------
+    o["KG_entity_pmi"] = f"""
+WITH {MENTIONS_SQL},
+pm AS (SELECT DISTINCT doc_id, uri FROM mentions),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM pm),
+dfreq AS (SELECT uri, CAST(count(*) AS BIGINT) AS df FROM pm GROUP BY uri),
+prs AS (SELECT a.uri AS src, b.uri AS dst
+        FROM pm a JOIN pm b ON a.doc_id = b.doc_id AND a.uri < b.uri),
+cooc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_docs
+         FROM prs GROUP BY src, dst)
+SELECT c.src, c.dst, c.n_docs, fs.df AS df_src, fd.df AS df_dst,
+       CAST(c.n_docs * nn.n AS DOUBLE) / (fs.df * fd.df) AS pmi_ratio
+FROM cooc c JOIN dfreq fs ON c.src = fs.uri
+            JOIN dfreq fd ON c.dst = fd.uri
+            CROSS JOIN nn
+"""
+
+    # fixed-point PageRank (operators/kg_analytics.py semantics) unrolled to
+    # 3 iterations: ranks are BIGINT micro-units, every update is integer
+    # multiply / floor-divide / integer sum, so Spark and DuckDB agree
+    # bitwise; dang{{i}} is always 0 on the undirected co-occurrence graph
+    # but kept so the SQL models the operator's full semantics
+    _pr_iters, _pr_scale = 3, 10 ** 9
+    _pr_base = 3 * _pr_scale // 20
+    _pr = [f"""pm AS (SELECT DISTINCT doc_id, uri FROM mentions),
+prs AS (SELECT a.uri AS src, b.uri AS dst
+        FROM pm a JOIN pm b ON a.doc_id = b.doc_id AND a.uri < b.uri),
+uedges AS (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs),
+pnodes AS (SELECT DISTINCT src AS uri FROM uedges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pnodes),
+odeg AS (SELECT src AS uri, CAST(count(*) AS BIGINT) AS outdeg
+         FROM uedges GROUP BY src),
+r0 AS (SELECT uri, CAST({_pr_scale} AS BIGINT) AS rank FROM pnodes)"""]
+    for _i in range(1, _pr_iters + 1):
+        _pr.append(f""",
+dang{_i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS d
+             FROM r{_i - 1} r LEFT JOIN odeg o ON r.uri = o.uri
+             WHERE o.uri IS NULL),
+c{_i} AS (SELECT e.dst AS uri,
+                 CAST(sum((17 * r.rank) // (20 * o.outdeg)) AS BIGINT) AS s
+          FROM uedges e JOIN r{_i - 1} r ON e.src = r.uri
+          JOIN odeg o ON e.src = o.uri
+          GROUP BY e.dst),
+r{_i} AS (SELECT n.uri,
+                 CAST({_pr_base} + (17 * dang{_i}.d) // (20 * nn.n)
+                      + coalesce(c{_i}.s, 0) AS BIGINT) AS rank
+          FROM pnodes n LEFT JOIN c{_i} ON n.uri = c{_i}.uri
+          CROSS JOIN dang{_i} CROSS JOIN nn)""")
+    o["KG_pagerank"] = (f"WITH {MENTIONS_SQL}, " + "".join(_pr) + f"""
+SELECT r.uri, r.rank,
+       CAST(r.rank AS DOUBLE) / CAST(nn.n * {_pr_scale} AS DOUBLE) AS rank_norm
+FROM r{_pr_iters} r CROSS JOIN nn""")
 
     o["Q2_rollup"] = """
 SELECT l_returnflag, l_linestatus,

@@ -105,7 +105,8 @@ def main():
                  "T3_fingerprint", "C1_contamination", "E2E_corpus_prep",
                  "QF4_model_quality", "C3b_pack_split",
                  "C4_upsample", "C6_token_budget", "D9b_span_stats",
-                 "L2_pos_lexical", "L3b_syntactic_text"]:
+                 "L2_pos_lexical", "L3b_syntactic_text",
+                 "KG_entity_pmi", "KG_pagerank"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 

@@ -1,0 +1,219 @@
+"""Beyond-reference KG analytics: entity-graph edge weighting + ranking.
+
+After the KG pipeline materializes per-document mentions and triples
+(reference scope ends at per-document feature vectors,
+``tranformers.py``/``graphs/builders.py``), a web-scale corpus wants
+*corpus-level* graph analytics over the extracted entities:
+
+* :func:`entity_cooccurrence` — doc-level co-occurrence edges between
+  entity URIs with document frequencies and a PMI-style association
+  weight.  This is the standard first step for KB enrichment / related-
+  entity suggestion over Common-Crawl-sized corpora.
+* :func:`pagerank_fixed_point` — entity importance over those edges (or
+  any directed edge set, e.g. KB ``(subj, pred, obj)`` links) as a
+  deterministic fixed-point PageRank.
+
+Determinism contract (why fixed-point): floating-point PageRank sums in
+partition order, so two runs — or two engines — disagree in the last
+bits.  Here ranks are BIGINT micro-units and every per-iteration update
+is integer multiply / truncating divide / integer sum, all of which are
+order-independent and engine-portable, so the result is bitwise
+reproducible on Spark, in the DuckDB oracle, and across cluster sizes.
+The only float columns are single exact IEEE divisions of two int64s
+(deterministic by IEEE-754 round-to-nearest).
+
+Scale shape (100 TB / 10^12 docs):
+* co-occurrence self-joins per *document* (shuffle key = doc id, never
+  all-pairs); per-doc pair blowup is quadratic in distinct entities per
+  doc, so ``max_per_doc`` caps it at the top-k mentions by occurrence
+  count (deterministic tie-break) — a 10k-entity spam page contributes
+  at most k*(k-1)/2 pairs instead of 5*10^7.
+* document frequencies are one partial-agg shuffle; the df dimension is
+  entity-vocabulary-sized (millions), far smaller than the corpus, and
+  is broadcast by default (``broadcast_df=False`` for huge vocabs).
+* PageRank iterations shuffle on node id only; per-round checkpointing
+  truncates lineage exactly as :func:`..dedup.duplicate_clusters`; the
+  per-iteration dangling mass is a single driver-side scalar.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import reliable_checkpointer
+
+__all__ = ["entity_cooccurrence", "pagerank_fixed_point",
+           "undirected_edges", "PAGERANK_SCALE"]
+
+#: rank micro-unit: node ranks start at PAGERANK_SCALE and total mass is
+#: n_nodes * PAGERANK_SCALE. 10^9 keeps 17 * total_mass inside int64 for
+#: up to ~5*10^8 nodes.
+PAGERANK_SCALE = 10 ** 9
+
+
+def entity_cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
+                        uri_col: str = "uri", count_col: str = "occurrences",
+                        max_per_doc: int = None, min_docs: int = 1,
+                        broadcast_df: bool = True,
+                        persist_mentions: bool = False) -> DataFrame:
+    """Doc-level entity co-occurrence edges with PMI association.
+
+    Input is the mention table produced by the annotator (one row per
+    (doc, uri) with an ``occurrences`` count — extra columns ignored).
+    Output: one row per unordered URI pair that shares >= ``min_docs``
+    documents::
+
+        (src, dst, n_docs, df_src, df_dst, pmi_ratio, pmi)
+
+    with ``src < dst``, ``df_*`` = number of docs mentioning the URI,
+    and ``pmi_ratio = n_docs * N / (df_src * df_dst)`` (N = docs with
+    >= 1 mention).  ``pmi_ratio`` is computed as a single IEEE division
+    of two exact int64 products, so it is bitwise engine-portable;
+    ``pmi = ln(pmi_ratio)`` is the conventional log form (transcendental
+    — reproducible per-libm only, excluded from cross-engine hashing).
+
+    ``max_per_doc`` keeps only the top-k mentions per document by
+    (occurrences desc, uri) before pairing — the skew cap for
+    entity-stuffed spam pages (see module docstring).
+
+    The deduped (doc, uri) projection feeds FOUR consumers (both pair
+    sides, document frequencies, and the corpus-size count); unpersisted,
+    each re-runs the upstream mention plan. That is fine when mentions
+    are already materialized (the production pipeline's concepts table)
+    but recomputes the annotator otherwise — pass
+    ``persist_mentions=True`` to cache the projection (small rows: doc
+    id + uri) for the duration of the job. Left off by default so
+    benchmarks time honest recomputation and callers own cache policy.
+    """
+    pm = (mentions
+          .select(F.col(doc_col).alias("_doc"), F.col(uri_col).alias("_uri"),
+                  F.col(count_col).alias("_occ"))
+          .filter(F.col("_uri").isNotNull())
+          .groupBy("_doc", "_uri").agg(F.sum("_occ").alias("_occ")))
+    if max_per_doc is not None:
+        if max_per_doc < 1:
+            raise ValueError(f"max_per_doc must be >= 1, got {max_per_doc}")
+        from pyspark.sql import Window
+        w = Window.partitionBy("_doc").orderBy(F.col("_occ").desc(), "_uri")
+        pm = (pm.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_per_doc).drop("_rn"))
+    pm = pm.drop("_occ")
+    if persist_mentions:
+        pm = pm.persist()
+
+    n_corpus = pm.select("_doc").distinct().count()   # driver scalar, 1 agg
+
+    a = pm.select(F.col("_doc").alias("_da"), F.col("_uri").alias("src"))
+    b = pm.select(F.col("_doc").alias("_db"), F.col("_uri").alias("dst"))
+    cooc = (a.join(b, (F.col("_da") == F.col("_db"))
+                   & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+    if min_docs > 1:
+        cooc = cooc.filter(F.col("n_docs") >= min_docs)
+
+    df = pm.groupBy(F.col("_uri").alias("uri")) \
+           .agg(F.count("*").cast("long").alias("df"))
+    if broadcast_df:
+        df = F.broadcast(df)
+    out = (cooc
+           .join(df.select(F.col("uri").alias("src"),
+                           F.col("df").alias("df_src")), "src")
+           .join(df.select(F.col("uri").alias("dst"),
+                           F.col("df").alias("df_dst")), "dst"))
+    ratio = ((F.col("n_docs") * F.lit(int(n_corpus))).cast("double")
+             / (F.col("df_src") * F.col("df_dst")))
+    return out.select("src", "dst", "n_docs", "df_src", "df_dst",
+                      ratio.alias("pmi_ratio"),
+                      F.log(ratio).alias("pmi"))
+
+
+def undirected_edges(cooc: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Expand unordered pairs (src < dst) to both directed edges — the
+    input shape :func:`pagerank_fixed_point` expects for an undirected
+    graph (and which guarantees no dangling nodes)."""
+    fwd = cooc.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    return fwd.unionByName(
+        cooc.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
+                         damping_num: int = 17, damping_den: int = 20,
+                         scale: int = PAGERANK_SCALE,
+                         checkpoint_dir: str = None) -> DataFrame:
+    """Deterministic PageRank over directed ``(src, dst)`` edges.
+
+    Fixed-point semantics (damping d = damping_num/damping_den, default
+    17/20 = 0.85; all divisions truncate toward zero on the non-negative
+    operands, i.e. floor)::
+
+        rank_0(v)   = scale                              # BIGINT
+        base        = (den - num) * scale DIV den
+        contrib(u)  = num * rank_i(u) DIV (den * outdeg(u))
+        dangling_i  = sum of rank_i over nodes with outdeg 0
+        share_i     = num * dangling_i DIV (den * n_nodes)
+        rank_{i+1}(v) = base + share_i + sum contrib(u) over u -> v
+
+    Output: ``(uri, rank, rank_norm)`` with ``rank`` the BIGINT
+    micro-unit value and ``rank_norm = rank / (n_nodes * scale)`` as one
+    exact IEEE division (sums to ~1, minus truncation dust).  Every
+    update is integer arithmetic, so the result is bitwise reproducible
+    across runs, partitionings, and engines — see module docstring.
+
+    Each iteration is one shuffle (groupBy dst) plus a scalar dangling
+    aggregate; ranks are checkpointed per round to truncate lineage
+    (``checkpoint_dir`` switches executor-local ``localCheckpoint`` to a
+    reliable HDFS/S3 checkpoint, as in
+    :func:`..dedup.duplicate_clusters`).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if not 0 < damping_num < damping_den:
+        raise ValueError(f"damping must be in (0, 1), got "
+                         f"{damping_num}/{damping_den}")
+    edges = (edges.select("src", "dst")
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+             .distinct())
+    sc = edges.sparkSession.sparkContext
+    with reliable_checkpointer(sc, checkpoint_dir) as ckpt:
+        edges = ckpt(edges)
+        nodes = (edges.select(F.col("src").alias("uri"))
+                 .unionByName(edges.select(F.col("dst").alias("uri")))
+                 .distinct())
+        nodes = ckpt(nodes)
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "uri", F.lit(0).cast("long").alias("rank"),
+                F.lit(0.0).alias("rank_norm"))
+        outdeg = edges.groupBy(F.col("src").alias("uri")) \
+                      .agg(F.count("*").cast("long").alias("outdeg"))
+        base = (damping_den - damping_num) * scale // damping_den
+        ranks = nodes.select("uri", F.lit(int(scale)).cast("long")
+                             .alias("rank"))
+        for _ in range(iters):
+            ranks = ckpt(ranks)
+            dangling = (ranks.join(outdeg, "uri", "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+                        .collect()[0][0])                 # scalar only
+            share = damping_num * int(dangling) // (damping_den * n)
+            contribs = (edges
+                        .join(ranks.withColumnRenamed("uri", "src"), "src")
+                        .join(outdeg.withColumnRenamed("uri", "src"), "src")
+                        .select("dst",
+                                F.expr(f"({damping_num} * rank) DIV "
+                                       f"({damping_den} * outdeg)")
+                                .alias("_c"))
+                        .groupBy(F.col("dst").alias("uri"))
+                        .agg(F.sum("_c").alias("_s")))
+            ranks = (nodes.join(contribs, "uri", "left")
+                     .select("uri",
+                             (F.lit(int(base + share))
+                              + F.coalesce(F.col("_s"), F.lit(0)))
+                             .cast("long").alias("rank")))
+        total = n * scale
+        return ranks.select(
+            "uri", "rank",
+            (F.col("rank").cast("double") / F.lit(int(total)).cast("double"))
+            .alias("rank_norm"))
