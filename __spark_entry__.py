@@ -1364,6 +1364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank_fixed_point(undirected_edges(cooc), iters=3)
     q["KG_pagerank"] = kg_pagerank
 
+    def kg_communities(spark, sf_dir):
+        from pysemanticcomplexity_spark.operators.kg_analytics import (
+            entity_communities, entity_cooccurrence)
+        cooc = entity_cooccurrence(_mentions_df(spark, sf_dir))
+        return entity_communities(cooc, min_ratio=1.0, min_docs=2)
+    q["KG_communities"] = kg_communities
+
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
         # can replicate it bucket-for-bucket (the xxhash64 production default
@@ -2281,6 +2288,35 @@ r{_i} AS (SELECT n.uri,
 SELECT r.uri, r.rank,
        CAST(r.rank AS DOUBLE) / CAST(nn.n * {_pr_scale} AS DOUBLE) AS rank_norm
 FROM r{_pr_iters} r CROSS JOIN nn""")
+
+    # communities = min-URI-reachable components over the positive-PMI
+    # subgraph (ratio > 1, n_docs >= 2); the engine's pointer-jumping
+    # min-label iteration must equal the recursive-CTE closure
+    o["KG_communities"] = f"""
+WITH RECURSIVE {MENTIONS_SQL},
+pm AS (SELECT DISTINCT doc_id, uri FROM mentions),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM pm),
+dfreq AS (SELECT uri, CAST(count(*) AS BIGINT) AS df FROM pm GROUP BY uri),
+prs AS (SELECT a.uri AS src, b.uri AS dst
+        FROM pm a JOIN pm b ON a.doc_id = b.doc_id AND a.uri < b.uri),
+cooc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_docs
+         FROM prs GROUP BY src, dst),
+sel AS (SELECT c.src, c.dst
+        FROM cooc c JOIN dfreq fs ON c.src = fs.uri
+                    JOIN dfreq fd ON c.dst = fd.uri
+                    CROSS JOIN nn
+        WHERE CAST(c.n_docs * nn.n AS DOUBLE) / (fs.df * fd.df) > 1.0
+          AND c.n_docs >= 2),
+edges AS (SELECT src AS a, dst AS b FROM sel
+          UNION SELECT dst, src FROM sel),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, node) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+SELECT src AS uri, min(node) AS community
+FROM reach GROUP BY src
+"""
 
     o["Q2_rollup"] = """
 SELECT l_returnflag, l_linestatus,

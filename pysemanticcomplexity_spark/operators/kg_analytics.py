@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from .dedup import reliable_checkpointer
 
 __all__ = ["entity_cooccurrence", "pagerank_fixed_point",
-           "undirected_edges", "PAGERANK_SCALE"]
+           "entity_communities", "undirected_edges", "PAGERANK_SCALE"]
 
 #: rank micro-unit: node ranks start at PAGERANK_SCALE and total mass is
 #: n_nodes * PAGERANK_SCALE. 10^9 keeps 17 * total_mass inside int64 for
@@ -126,6 +126,33 @@ def entity_cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
     return out.select("src", "dst", "n_docs", "df_src", "df_dst",
                       ratio.alias("pmi_ratio"),
                       F.log(ratio).alias("pmi"))
+
+
+def entity_communities(cooc: DataFrame, min_ratio: float = 1.0,
+                       min_docs: int = 1, max_iters: int = 50,
+                       checkpoint_dir: str = None) -> DataFrame:
+    """Topical entity communities: connected components over the
+    positively-associated subgraph of :func:`entity_cooccurrence`.
+
+    Edges are pairs with ``pmi_ratio > min_ratio`` (1.0 = co-occur more
+    than independence predicts) and ``n_docs >= min_docs``; components
+    come from :func:`..dedup.duplicate_clusters` (pointer-jumping
+    min-label, O(log diameter) rounds, checkpointed — see its docstring
+    for the cluster-scale story).  Output: ``(uri, community)`` with
+    ``community`` = the lexicographic min URI reachable, a stable
+    community id across runs and engines.
+
+    The threshold compare is deterministic cross-engine because
+    ``pmi_ratio`` itself is bitwise-portable (one exact IEEE division).
+    """
+    edges = (cooc.filter((F.col("pmi_ratio") > min_ratio)
+                         & (F.col("n_docs") >= min_docs))
+             .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")))
+    from .dedup import duplicate_clusters
+    return (duplicate_clusters(edges, max_iters=max_iters,
+                               checkpoint_dir=checkpoint_dir)
+            .select(F.col("id").alias("uri"),
+                    F.col("cluster_id").alias("community")))
 
 
 def undirected_edges(cooc: DataFrame, src_col: str = "src",

@@ -177,6 +177,33 @@ def test_undirected_edges_have_no_dangling(spark):
     assert srcs == dsts
 
 
+def test_entity_communities_match_union_find(spark):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        entity_communities)
+    cooc = entity_cooccurrence(_mentions_df(spark))
+    got = {r["uri"]: r["community"]
+           for r in entity_communities(cooc, min_ratio=1.0).collect()}
+    # python union-find over the same positive-PMI edge set
+    edges = [(a, b) for (a, b), (n, dfs, dfd, ratio) in
+             _py_cooc(MENTIONS).items() if ratio > 1.0]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {u: find(u) for e in edges for u in e}
+    assert got == want
+    assert len(got) > 0              # the fixture graph has positive edges
+
+
 def test_pagerank_over_cooccurrence_end_to_end(spark):
     """Hub entity u_a (3 docs, ties to everything) outranks the leaf u_d."""
     cooc = entity_cooccurrence(_mentions_df(spark))
