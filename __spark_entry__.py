@@ -702,6 +702,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "n_dup_tokens", "dup_frac")
     q["D9b_span_stats"] = d9b_span_stats
 
+    def d10_bloom_novelty(spark, sf_dir):
+        # incremental dedup of a "new batch" (all docs) against a "history"
+        # (doc_id % 4 != 3) via a broadcast Bloom bitmap — the no-join path;
+        # poly hash family so DuckDB replays the filter bit-for-bit
+        from pysemanticcomplexity_spark.operators import dedup
+        d = _docs(spark, sf_dir)
+        prior = d.filter(F.col("doc_id") % 4 != 3)
+        bm = dedup.bloom_build(prior, n_bits=1 << 18, n_hashes=3,
+                               hash_fn="poly")
+        return (dedup.bloom_flag(d, bm, n_hashes=3, hash_fn="poly")
+                .select("doc_id", "possibly_seen"))
+    q["D10_bloom_novelty"] = d10_bloom_novelty
+
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
             embedding_near_dups_bruteforce)
@@ -3592,6 +3605,32 @@ SELECT t.id AS doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
             THEN round(coalesce(d.n_dup_tokens, 0) * 1.0 / len(t.toks), 9)
             ELSE 0.0 END AS dup_frac
 FROM t LEFT JOIN dtot d ON d.id = t.id
+"""
+
+    # D10: the Bloom bitmap replayed as a set of bit positions — prior keys
+    # (doc_id % 4 != 3) populate it, every doc probes it; possibly_seen =
+    # all 3 affine-seeded positions present (the no-false-negative side of
+    # the filter is what the hash equality pins)
+    from pysemanticcomplexity_spark.operators.dedup import minhash_seeds
+    _bloom_seeds = ", ".join(f"({a}, {b})" for a, b in minhash_seeds(3))
+    _bloom_fold = """CAST(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(str_split(k, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)"""
+    o["D10_bloom_novelty"] = rf"""
+WITH keys AS (SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+              FROM documents),
+hh AS (SELECT doc_id, {_bloom_fold} AS h FROM keys),
+seeds(a, b) AS (VALUES {_bloom_seeds}),
+newpos AS (SELECT doc_id, ((hh.h * s.a + s.b) % 1000000007) % {1 << 18} AS p
+           FROM hh CROSS JOIN seeds s),
+priorpos AS (SELECT DISTINCT p FROM newpos WHERE doc_id % 4 <> 3)
+SELECT doc_id,
+       count(*) FILTER (WHERE p IN (SELECT p FROM priorpos)) = count(*)
+         AS possibly_seen
+FROM newpos GROUP BY doc_id
 """
 
     # C4/C5/C6: the mix-recipe trio over the same portable sampling hash

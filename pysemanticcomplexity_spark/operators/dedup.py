@@ -83,7 +83,8 @@ __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
            "fuzzy_dedup_retained", "line_dedup", "ngram_span_hashes",
            "duplicate_gram_positions", "duplicate_spans",
-           "duplicate_span_stats", "reliable_checkpointer"]
+           "duplicate_span_stats", "reliable_checkpointer",
+           "bloom_build", "bloom_flag", "bloom_novel"]
 
 
 def normalize_text(col) -> F.Column:
@@ -817,3 +818,122 @@ def duplicate_span_stats(docs: DataFrame, n: int = 20, min_docs: int = 2, *,
                                F.round(F.col("n_dup_tokens")
                                        / F.col("n_tokens"), 9))
                         .otherwise(F.lit(0.0))))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup: new crawl vs corpus history, WITHOUT a join
+# ---------------------------------------------------------------------------
+# The scale problem this solves: deduplicating a fresh crawl batch against a
+# trillion-key corpus HISTORY. A join (even semi/anti) shuffles the batch
+# against the full historical key set; a Bloom filter compresses the history
+# into an O(n_bits) bitmap that is built distributed, collected once, and
+# broadcast — the probe is then a zero-shuffle scan-side map. Standard crawl
+# frontier / CCNet bookkeeping semantics: NO false negatives (every true
+# duplicate is flagged), a tunable false-positive fraction of novel rows is
+# over-flagged (n_bits=2^26, n_hashes=5 at 10^9 keys -> FP ~0.1%).
+
+BLOOM_DEFAULT_BITS = 1 << 23     # 8 Mbit; build/probe cost is O(1) per key
+BLOOM_DEFAULT_HASHES = 5
+
+
+def _bloom_positions(col, n_bits: int, n_hashes: int, hash_fn: str):
+    """array<long> of the key's n_hashes bit positions in [0, n_bits).
+
+    ``hash_fn='xxhash'`` (production): n_hashes independently-seeded
+    xxhash64 (salt FIRST — see exact_key_cols). ``'poly'``: the affine
+    poly family shared with the SQL oracle."""
+    if hash_fn == "xxhash":
+        return F.array(*[F.pmod(F.xxhash64(F.lit(i), col), F.lit(n_bits))
+                         for i in range(n_hashes)])
+    if hash_fn == "poly":
+        h0 = poly_hash_expr(col)
+        return F.array(*[((h0 * F.lit(a) + F.lit(b)) % POLY_MOD) % n_bits
+                         for a, b in minhash_seeds(n_hashes)])
+    raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
+
+
+def _check_bloom_params(n_bits: int, n_hashes: int) -> None:
+    if n_bits < 64 or n_bits % 64:
+        raise ValueError(f"n_bits must be a positive multiple of 64, "
+                         f"got {n_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+
+
+def bloom_build(docs: DataFrame, text_col: str = "text",
+                n_bits: int = BLOOM_DEFAULT_BITS,
+                n_hashes: int = BLOOM_DEFAULT_HASHES,
+                hash_fn: str = "xxhash"):
+    """Distributed Bloom-filter build over normalized text keys; returns
+    the bitmap as a numpy uint64 word array (len = n_bits/64).
+
+    Fully distributed: bit positions reduce to 64-bit words via one
+    map-side-combined ``groupBy(word_idx).agg(bit_or(mask))`` — the
+    driver collects at most n_bits/64 rows (131k for an 8 Mbit filter)
+    no matter how many keys went in. NULL text hashes as '' (one shared
+    slot), matching :func:`bloom_flag`."""
+    import numpy as np
+
+    _check_bloom_params(n_bits, n_hashes)
+    key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    pos = (docs.select(F.explode(
+        _bloom_positions(key, n_bits, n_hashes, hash_fn)).alias("p")))
+    words = (pos.select((F.col("p") / 64).cast("long").alias("w"),
+                        F.expr("shiftleft(1L, cast(p % 64 as int))")
+                        .alias("m"))
+             .groupBy("w").agg(F.expr("bit_or(m)").alias("word"))
+             .collect())
+    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def bloom_flag(docs: DataFrame, bitmap, text_col: str = "text",
+               n_hashes: int = BLOOM_DEFAULT_HASHES,
+               hash_fn: str = "xxhash",
+               flag_col: str = "possibly_seen") -> DataFrame:
+    """Probe every document against a :func:`bloom_build` bitmap:
+    appends boolean ``flag_col`` = all n_hashes positions set.
+
+    Zero shuffle: position hashing stays JVM-side, the bitmap rides an
+    executor broadcast, and membership is ONE vectorized numpy gather
+    per Arrow batch (the QF4 gather-kernel shape) — no per-row Python.
+    Stateless row-local map, so it is streaming-legal mid-batch."""
+    import numpy as np
+    import pandas as pd
+
+    n_bits = int(bitmap.shape[0]) * 64
+    _check_bloom_params(n_bits, n_hashes)
+    bc = docs.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(bitmap, dtype=np.uint64))
+
+    @F.pandas_udf("boolean")
+    def _probe(pos):
+        bm = bc.value
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        arr = np.stack(pos.to_numpy()).astype(np.int64)   # (rows, n_hashes)
+        bits = (bm[arr >> 6] >> (arr & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    return docs.withColumn(
+        flag_col,
+        _probe(_bloom_positions(key, n_bits, n_hashes, hash_fn)))
+
+
+def bloom_novel(new_docs: DataFrame, prior_docs: DataFrame,
+                text_col: str = "text",
+                n_bits: int = BLOOM_DEFAULT_BITS,
+                n_hashes: int = BLOOM_DEFAULT_HASHES,
+                hash_fn: str = "xxhash") -> DataFrame:
+    """One-call incremental dedup: rows of ``new_docs`` whose normalized
+    text is definitely NOT in ``prior_docs`` (no false negatives, so no
+    true duplicate survives; an FP-rate-sized fraction of genuinely
+    novel rows is dropped with them — the standard frontier trade)."""
+    bm = bloom_build(prior_docs, text_col=text_col, n_bits=n_bits,
+                     n_hashes=n_hashes, hash_fn=hash_fn)
+    flagged = bloom_flag(new_docs, bm, text_col=text_col,
+                         n_hashes=n_hashes, hash_fn=hash_fn)
+    return flagged.filter(~F.col("possibly_seen")).drop("possibly_seen")

@@ -537,3 +537,106 @@ def test_duplicate_span_stats_accounting(spark):
         dedup.ngram_span_hashes(df, n=4, stride=0)
     with _pytest.raises(ValueError, match="hash_fn"):
         dedup.ngram_span_hashes(df, n=4, hash_fn="nope")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+# ---------------------------------------------------------------------------
+
+def _bloom_corpus(spark, n=400):
+    rows = [(i, f"document number {i} with some distinct words {i * 7}")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key that went into the filter MUST flag possibly_seen."""
+    docs = _bloom_corpus(spark)
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    bm = dedup.bloom_build(prior, n_bits=1 << 16, n_hashes=4)
+    flagged = dedup.bloom_flag(docs, bm, n_hashes=4)
+    seen = {r["doc_id"]: r["possibly_seen"] for r in flagged.collect()}
+    assert all(seen[i] for i in seen if i % 4 != 3)
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Novel keys mostly pass: 300 keys in a 2^16-bit filter with 4
+    hashes gives a theoretical FP rate ~ (1-e^(-4*300/65536))^4 ~ 1e-7;
+    allow a generous 5% margin for hash clustering."""
+    docs = _bloom_corpus(spark)
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    bm = dedup.bloom_build(prior, n_bits=1 << 16, n_hashes=4)
+    flagged = dedup.bloom_flag(docs, bm, n_hashes=4)
+    novel = [r for r in flagged.collect() if r["doc_id"] % 4 == 3]
+    fp = sum(1 for r in novel if r["possibly_seen"]) / len(novel)
+    assert fp <= 0.05
+
+
+def test_bloom_novel_excludes_all_true_dups(spark):
+    docs = _bloom_corpus(spark)
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    kept = {r["doc_id"] for r in
+            dedup.bloom_novel(docs, prior, n_bits=1 << 16).collect()}
+    assert not kept & {i for i in range(400) if i % 4 != 3}
+    assert kept                                    # some novel rows survive
+    assert kept <= {i for i in range(400) if i % 4 == 3}
+
+
+def test_bloom_poly_matches_python_replica(spark):
+    """The engine-portable variant equals a brute-force python Bloom."""
+    docs = _bloom_corpus(spark, n=100)
+    prior_ids = [i for i in range(100) if i % 3 == 0]
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    n_bits, k = 1 << 10, 3
+
+    def norm(t):
+        import re
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % dedup.POLY_MOD
+        return h
+
+    def positions(t):
+        h = poly(norm(t))
+        return [((h * a + b) % dedup.POLY_MOD) % n_bits
+                for a, b in dedup.minhash_seeds(k)]
+
+    texts = {i: f"document number {i} with some distinct words {i * 7}"
+             for i in range(100)}
+    bits = {p for i in prior_ids for p in positions(texts[i])}
+    want = {i: all(p in bits for p in positions(texts[i])) for i in texts}
+
+    bm = dedup.bloom_build(prior, n_bits=n_bits, n_hashes=k, hash_fn="poly")
+    got = {r["doc_id"]: r["possibly_seen"] for r in
+           dedup.bloom_flag(docs, bm, n_hashes=k, hash_fn="poly").collect()}
+    assert got == want
+
+
+def test_bloom_probe_plan_shape(spark):
+    """Probe = zero Exchange, exactly ONE ArrowEvalPython (the gather)."""
+    from pysemanticcomplexity_spark import plans
+    docs = _bloom_corpus(spark, n=50)
+    bm = dedup.bloom_build(docs, n_bits=1 << 12)
+    flagged = dedup.bloom_flag(docs, bm)
+    plan = plans.executed_plan(flagged)
+    assert plan.count("ArrowEvalPython") == 1
+    assert plans.count_shuffles(flagged) == 0
+
+
+def test_bloom_null_text_and_params(spark):
+    import pytest as _pytest
+    docs = spark.createDataFrame([(1, None), (2, "")],
+                                 "doc_id long, text string")
+    bm = dedup.bloom_build(docs.filter("doc_id = 1"), n_bits=1 << 10)
+    got = {r["doc_id"]: r["possibly_seen"] for r in
+           dedup.bloom_flag(docs, bm).collect()}
+    assert got == {1: True, 2: True}     # null normalizes to '' like ''
+    with _pytest.raises(ValueError, match="n_bits"):
+        dedup.bloom_build(docs, n_bits=100)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        dedup.bloom_build(docs, n_hashes=0)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dedup.bloom_build(docs, hash_fn="nope")
