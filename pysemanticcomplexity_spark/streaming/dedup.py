@@ -39,7 +39,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.dedup import exact_key_cols, simhash_blocks, simhash_rowlocal
 
 __all__ = ["streaming_exact_dedup", "streaming_dup_counts",
-           "streaming_simhash_pairs", "streaming_dup_span_positions"]
+           "streaming_simhash_pairs", "streaming_dup_span_positions",
+           "streaming_bloom_novel"]
 
 
 def streaming_exact_dedup(stream: DataFrame, ts_col: str = "warc_ts",
@@ -260,3 +261,102 @@ def streaming_dup_span_positions(stream: DataFrame, n: int = 8,
                                     stateStructType=_SPAN_STATE,
                                     outputMode="update",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_bloom_novel(words_dir: str, novel_dir: str, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_bits: int = None, n_hashes: int = None,
+                          hash_fn: str = "xxhash"):
+    """Incremental crawl-frontier dedup via an accumulated Bloom filter.
+
+    The streaming face of :func:`operators.dedup.bloom_novel`: each
+    micro-batch (1) probes its rows against the bitmap accumulated from
+    every PRIOR batch (broadcast, zero-shuffle scan-side map), (2) keeps
+    within-batch first occurrences (min ``id_col`` per 128-bit exact key),
+    (3) appends the surviving "novel" rows to ``novel_dir`` and the rows'
+    bit positions — reduced to 64-bit words — to ``words_dir``, both
+    partitioned by ``batch_id`` with dynamic partition overwrite so a
+    replayed batch overwrites exactly its own output (idempotent under
+    foreachBatch's at-least-once contract; the bitmap read filters
+    ``batch_id < current``, so a replay sees the same prior state).
+
+    History state is O(n_bits) words REGARDLESS of corpus size — the
+    trillion-key frontier never joins, never shuffles against history.
+    Only EMITTED keys enter the filter: a row dropped as a false positive
+    was never emitted, and if its text reappears it maps to the same set
+    positions and is dropped again, so "no text is emitted twice" holds
+    exactly; the cost stays the documented FP-rate loss of novel rows.
+
+    Returns the function to pass to ``stream.writeStream.foreachBatch``.
+    """
+    import numpy as np
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (_bloom_positions, _check_bloom_params,
+                                   bloom_flag, normalize_text)
+    from ..operators import dedup as _d
+
+    n_bits = _d.BLOOM_DEFAULT_BITS if n_bits is None else n_bits
+    n_hashes = _d.BLOOM_DEFAULT_HASHES if n_hashes is None else n_hashes
+    _check_bloom_params(n_bits, n_hashes)
+    if hash_fn not in ("xxhash", "poly"):
+        raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
+
+    def _prior_bitmap(spark, batch_id: int):
+        """Word table of batches < batch_id, or None before any commit.
+        Probed by attempting the read, never a driver-local isdir (the
+        sink may be HDFS/S3, or a crashed write may leave a footerless
+        dir) — same contract as streaming_simhash_pairs above."""
+        try:
+            w = spark.read.parquet(words_dir)
+            w.schema
+        except AnalysisException:
+            return None
+        rows = (w.filter(F.col("batch_id") < batch_id)
+                .groupBy("w").agg(F.expr("bit_or(word)").alias("word"))
+                .collect())                      # <= n_bits/64 rows
+        if not rows:
+            return None
+        bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+        for r in rows:
+            bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+        return bitmap
+
+    def process(batch_df, batch_id: int):
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        bm = _prior_bitmap(spark, batch_id)
+        flagged = (bloom_flag(batch_df, bm, text_col=text_col,
+                              n_hashes=n_hashes, hash_fn=hash_fn)
+                   if bm is not None
+                   else batch_df.withColumn("possibly_seen", F.lit(False)))
+        win = Window.partitionBy("text_key_hi", "text_key_lo") \
+                    .orderBy(id_col)
+        novel = (flagged.filter(~F.col("possibly_seen"))
+                 .withColumns(dict(zip(["text_key_hi", "text_key_lo"],
+                                       exact_key_cols(text_col))))
+                 .withColumn("_rn", F.row_number().over(win))
+                 .filter(F.col("_rn") == 1)
+                 .drop("_rn", "possibly_seen",
+                       "text_key_hi", "text_key_lo")
+                 .persist())
+        try:
+            key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+            words = (novel
+                     .select(F.explode(_bloom_positions(
+                         key, n_bits, n_hashes, hash_fn)).alias("p"))
+                     .select((F.col("p") / 64).cast("long").alias("w"),
+                             F.expr("shiftleft(1L, cast(p % 64 as int))")
+                             .alias("m"))
+                     .groupBy("w").agg(F.expr("bit_or(m)").alias("word")))
+            with_bid = F.lit(int(batch_id)).alias("batch_id")
+            for df, out in ((novel, novel_dir), (words, words_dir)):
+                (df.withColumn("batch_id", with_bid)
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(out))
+        finally:
+            novel.unpersist()
+
+    return process

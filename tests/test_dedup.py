@@ -640,3 +640,67 @@ def test_bloom_null_text_and_params(spark):
         dedup.bloom_build(docs, n_hashes=0)
     with _pytest.raises(ValueError, match="hash_fn"):
         dedup.bloom_build(docs, hash_fn="nope")
+
+
+def test_streaming_bloom_novel_sequential_replay(spark, tmp_path):
+    """The accumulated-bloom frontier must equal an exact python replay:
+    per batch, rows not in the prior-batch bitset survive (first id per
+    normalized text within the batch), and only EMITTED keys enter the
+    filter."""
+    from pysemanticcomplexity_spark.streaming.dedup import (
+        streaming_bloom_novel)
+
+    n_bits, k = 1 << 10, 3
+    batches = [
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta"),
+         (2, "ALPHA   beta gamma"),              # within-batch dup of 0
+         (3, "eta theta iota")],
+        [(10, "delta epsilon zeta"),             # cross-batch dup of 1
+         (11, "kappa lambda mu"), (12, "nu xi omicron")],
+        [(20, "kappa lambda mu"),                # cross-batch dup of 11
+         (21, "pi rho sigma"), (22, "eta  THETA iota")],  # dup of 3
+    ]
+
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def positions(t):
+        h = 0
+        for c in norm(t):
+            h = (h * 31 + ord(c)) % dedup.POLY_MOD
+        return [((h * a + b) % dedup.POLY_MOD) % n_bits
+                for a, b in dedup.minhash_seeds(k)]
+
+    bitset, want = set(), set()
+    for rows in batches:
+        emitted_keys = {}
+        for i, t in sorted(rows):
+            nk = norm(t)
+            if all(p in bitset for p in positions(t)):
+                continue                          # seen in a prior batch
+            if nk in emitted_keys:
+                continue                          # within-batch first wins
+            emitted_keys[nk] = i
+            want.add(i)
+        for nk in emitted_keys:
+            bitset.update(positions(nk))          # positions of the key
+
+    words_dir, novel_dir = str(tmp_path / "words"), str(tmp_path / "novel")
+    process = streaming_bloom_novel(words_dir, novel_dir, n_bits=n_bits,
+                                    n_hashes=k, hash_fn="poly")
+    schema = "doc_id long, text string"
+    for bid, rows in enumerate(batches):
+        process(spark.createDataFrame(rows, schema), bid)
+
+    got = {r["doc_id"] for r in spark.read.parquet(novel_dir).collect()}
+    assert got == want
+    assert 0 in got and 2 not in got             # within-batch dedup
+    assert 10 not in got and 20 not in got and 22 not in got
+
+    # idempotency: replaying batch 1 rewrites exactly its own partition
+    before = sorted(map(tuple, spark.read.parquet(novel_dir).collect()))
+    process(spark.createDataFrame(batches[1], schema), 1)
+    after = sorted(map(tuple, spark.read.parquet(novel_dir).collect()))
+    assert before == after
