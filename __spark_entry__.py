@@ -480,6 +480,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("brk").cast("long").alias("n_sessions")))
     q["W2_sessionize"] = w2_sessionize
 
+    def w4_asof(spark, sf_dir):
+        # attribution as-of: each purchase gets the user's latest click at
+        # or before it (union+window formulation — ONE shuffle on user_id,
+        # never an inequality join); ties broken by max click_id so the
+        # result is deterministic and matches the oracle's arg_max
+        from pysemanticcomplexity_spark.operators.temporal import asof_join
+        e = _events(spark, sf_dir)
+        purchases = (e.filter(F.col("event_type") == "purchase")
+                     .select("event_id", "user_id", "ts"))
+        clicks = (e.filter(F.col("event_type") == "click")
+                  .select("user_id", F.col("ts").alias("click_ts"),
+                          F.col("event_id").alias("click_id"),
+                          F.col("value").alias("click_value")))
+        out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                        right_ts="click_ts", tiebreak="click_id")
+        # unmatched purchases keep NULL click columns; emit epochs instead
+        # of raw timestamps so nullable columns hash through the NaN-aware
+        # float path (NaT != NaT under the driver's exact comparator)
+        return out.select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").alias("purchase_epoch"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            "click_id", "click_value")
+    q["W4_asof_attribution"] = w4_asof
+
+    def w5_range(spark, sf_dir):
+        # interval containment via bucketized equi-join: clicks landing in
+        # the 2h window after the same user's signup (epoch-second grid so
+        # both engines compare identical integers)
+        from pysemanticcomplexity_spark.operators.temporal import range_join
+        e = _events(spark, sf_dir)
+        epoch = F.unix_timestamp("ts")
+        clicks = (e.filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"), "user_id",
+                          epoch.alias("click_epoch")))
+        signups = (e.filter(F.col("event_type") == "signup")
+                   .select(F.col("event_id").alias("signup_id"), "user_id",
+                           epoch.alias("w_start"),
+                           (epoch + 7200).alias("w_end")))
+        return range_join(clicks, signups, "click_epoch", "w_start", "w_end",
+                          bucket_width=7200, keys="user_id")
+    q["W5_range_join"] = w5_range
+
     def q5_multiway(spark, sf_dir):
         # TPC-H Q5 shape: 5-way join, small dims broadcast, big side shuffled
         # once on the join key chain
@@ -2193,6 +2236,37 @@ SELECT user_id, event_id,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        AS running_n
 FROM events
+"""
+
+    # W4: DuckDB's NATIVE ASOF JOIN is the independent oracle for the
+    # union+window formulation; clicks pre-aggregated per (user, ts) with
+    # arg_max(_, event_id) = the engine's max-click_id tie-break
+    o["W4_asof_attribution"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS click_ts,
+             arg_max(event_id, event_id) AS click_id,
+             arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_epoch,
+       c.click_id, c.click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+    o["W5_range_join"] = """
+WITH c AS (SELECT event_id AS click_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS click_epoch
+           FROM events WHERE event_type = 'click'),
+s AS (SELECT event_id AS signup_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS w_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS w_end
+      FROM events WHERE event_type = 'signup')
+SELECT c.click_id, c.user_id, c.click_epoch, s.signup_id, s.w_start, s.w_end
+FROM c JOIN s ON c.user_id = s.user_id
+  AND s.w_start <= c.click_epoch AND c.click_epoch < s.w_end
 """
 
     o["W2_sessionize"] = """

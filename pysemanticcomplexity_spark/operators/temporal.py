@@ -1,0 +1,174 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+Both named in the engine's custom-operator contract (as-of joins for
+re-crawl attribution / snapshot lookups over ``warc_ts``; range joins
+for interval containment) and both implemented as compositions of
+existing DataFrame ops — no Python in the hot path, no per-key loops.
+
+As-of join, the scalable shape
+------------------------------
+The naive plans are all wrong at scale: an inequality theta-join
+explodes to a broadcast-nested-loop cartesian; a per-key
+``applyInPandas`` ships both tables to Python. The right plan is the
+UNION + WINDOW trick: tag both inputs, union them (schema-aligned
+structs), and take ``last(payload, ignorenulls=True)`` over a window
+partitioned by key and ordered by (ts, side) — every left row sees
+exactly the latest right row at or before it. ONE shuffle on the join
+key, linear in |left| + |right|, and Catalyst handles skew via AQE like
+any other window. This is the classic log-merge formulation of as-of
+(what kdb/Flink/QuestDB do natively), expressed in vanilla Spark.
+
+Range join, the scalable shape
+------------------------------
+Intervals and points are both mapped to fixed-width buckets (intervals
+explode to every bucket they touch); the join becomes an EQUI-join on
+bucket id with an exact residual filter. Bucket width trades replication
+(long intervals touch many buckets) against bucket selectivity — pick it
+near the median interval length. Never a cartesian, never an inequality
+join.
+"""
+from __future__ import annotations
+
+from typing import List, Union
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: Union[str, List[str]],
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward",
+              tolerance: str = None,
+              tiebreak: str = None,
+              rsuffix: str = "_right") -> DataFrame:
+    """For every left row, the single matching right row per key:
+    ``direction='backward'`` -> latest right with right_ts <= left_ts;
+    ``'forward'`` -> earliest right with right_ts >= left_ts.
+
+    Left-join semantics: unmatched left rows keep NULL right columns.
+    ``tolerance`` (an SQL interval string, e.g. ``'30 minutes'``) voids
+    matches farther than that from the left timestamp. ``tiebreak``
+    names a right column deciding ties among equal right_ts rows per key
+    (max wins backward, min wins forward); without it ties are broken
+    arbitrarily (Spark sort instability), so pass one whenever right_ts
+    is not unique per key. Right columns (except the keys) come back
+    suffixed with ``rsuffix`` when they collide with left names.
+
+    Plan shape: one Exchange on the key columns + one window sort — see
+    module docstring. Equal timestamps match inclusively (the right row
+    sorts before the left row at the same instant).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', "
+                         f"got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} missing from an input")
+
+    pay_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + rsuffix if c in left.columns else c)
+                 for c in pay_cols}
+
+    asc = direction == "backward"
+    tb = (F.col(tiebreak) if tiebreak is not None
+          else F.lit(0))
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        tb.alias("_tb"),
+        F.lit(1).alias("_is_right"),
+        F.struct(*[F.col(c).alias(c) for c in pay_cols]).alias("_pay"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in left.schema.fields) + ">").alias("_lrow"))
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(r_side.schema["_tb"].dataType).alias("_tb"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(r_side.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*[F.col(c).alias(c) for c in left.columns]).alias("_lrow"))
+
+    # sort so that, scanning toward the left row, the BEST right row is
+    # the last non-null payload: backward = ts asc (ties: right first =
+    # inclusive match, bigger tiebreak later = wins); forward = mirror
+    order = ([F.col("_ts").asc(), F.col("_is_right").desc(),
+              F.col("_tb").asc_nulls_first()] if asc else
+             [F.col("_ts").desc(), F.col("_is_right").desc(),
+              F.col("_tb").desc_nulls_first()])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("_pay", ignorenulls=True).over(w)
+
+    out = (r_side.unionByName(l_side)
+           .withColumn("_m", matched)
+           .filter(F.col("_is_right") == 0))
+    if tolerance is not None:
+        bound = (F.col("_ts") - F.expr(f"INTERVAL {tolerance}") if asc
+                 else F.col("_ts") + F.expr(f"INTERVAL {tolerance}"))
+        in_tol = (F.col("_m")[right_ts] >= bound if asc
+                  else F.col("_m")[right_ts] <= bound)
+        out = out.withColumn(
+            "_m", F.when(in_tol, F.col("_m")))
+    return out.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col("_m")[c].alias(out_names[c]) for c in pay_cols])
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, start_col: str, end_col: str,
+               bucket_width: int,
+               keys: Union[str, List[str]] = None,
+               how: str = "inner") -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point < end`` (numeric or epoch-seconds columns) — and
+    equal ``keys``, when given — as an equi-join on (keys, fixed-width
+    bucket) plus an exact residual filter.
+
+    ``bucket_width`` is in the columns' own units; intervals explode to
+    ``(end - start) / bucket_width + 1`` bucket rows (pick the width near
+    the median interval length — see module docstring). ``how='inner'``
+    keeps matches only; ``'left'`` keeps point rows without any interval
+    too (NULL interval columns). Output: all point columns + the
+    interval columns not shared as keys (caller disambiguates other
+    name collisions beforehand).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = ([keys] if isinstance(keys, str) else list(keys or []))
+    p_bkt = F.floor(F.col(point_col) / bucket_width)
+    i_first = F.floor(F.col(start_col) / bucket_width)
+    # end is exclusive: the last touched bucket is the one holding the
+    # greatest value < end
+    i_last = F.floor((F.col(end_col) - F.lit(1)) / bucket_width)
+    ival_cols = [c for c in intervals.columns if c not in keys]
+    # explicit aliases: points and intervals may derive from the SAME scan
+    # (self-join), where bare df[col] references collapse to trivially-true
+    # predicates after Spark's relation deduplication
+    ivals = (intervals
+             .filter(F.col(end_col) > F.col(start_col))
+             .withColumn("_bkt", F.explode(F.sequence(i_first, i_last)))
+             .alias("_iv"))
+    pts = points.withColumn("_bkt", p_bkt.cast("long")).alias("_pt")
+    cond = (F.col("_pt._bkt") == F.col("_iv._bkt"))
+    for k in keys:
+        cond = cond & (F.col(f"_pt.{k}") == F.col(f"_iv.{k}"))
+    cond = (cond & (F.col(f"_iv.{start_col}") <= F.col(f"_pt.{point_col}"))
+            & (F.col(f"_pt.{point_col}") < F.col(f"_iv.{end_col}")))
+    joined = pts.join(ivals, cond, "inner") \
+        .select(*[F.col(f"_pt.{c}") for c in points.columns],
+                *[F.col(f"_iv.{c}") for c in ival_cols])
+    if how == "inner":
+        return joined
+    misses = (pts.join(ivals, cond, "left_anti")
+              .select(*[F.col(f"_pt.{c}") for c in points.columns],
+                      *[F.lit(None).cast(intervals.schema[c].dataType)
+                        .alias(c) for c in ival_cols]))
+    return joined.unionByName(misses)

@@ -1,0 +1,155 @@
+"""As-of join + range join: equality with pandas.merge_asof (the
+de-facto reference implementation) and brute-force inequality joins."""
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from pysemanticcomplexity_spark import plans
+from pysemanticcomplexity_spark.operators.temporal import asof_join, range_join
+
+LEFT = [  # (lid, key, ts)
+    (1, "a", 10.0), (2, "a", 20.0), (3, "a", 35.0),
+    (4, "b", 5.0), (5, "b", 50.0),
+    (6, "c", 7.0),                       # key with no right rows
+]
+RIGHT = [  # (rid, key, ts, payload)
+    (100, "a", 8.0, 1.5), (101, "a", 20.0, 2.5), (102, "a", 30.0, 3.5),
+    (103, "b", 40.0, 4.5),
+    (104, "d", 1.0, 9.9),                # key with no left rows
+]
+
+
+def _dfs(spark):
+    l = spark.createDataFrame(LEFT, "lid long, key string, ts double")
+    r = spark.createDataFrame(
+        RIGHT, "rid long, key string, ts double, payload double")
+    return l, r
+
+
+def _merge_asof(direction, tolerance=None):
+    lp = pd.DataFrame(LEFT, columns=["lid", "key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        RIGHT, columns=["rid", "key", "ts", "payload"]).sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="key", direction=direction,
+                      tolerance=tolerance, suffixes=("", "_right"))
+    return {int(row.lid): (None if pd.isna(row.rid) else int(row.rid),
+                           None if pd.isna(row.payload) else row.payload)
+            for row in m.itertuples()}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    l, r = _dfs(spark)
+    got = {row["lid"]: (row["rid"], row["payload"])
+           for row in asof_join(l, r, on="key",
+                                direction=direction).collect()}
+    assert got == _merge_asof(direction)
+    # exact-timestamp rows match inclusively in both directions
+    assert got[2][0] == 101
+
+
+def test_asof_tolerance_timestamps(spark):
+    l = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00"), (2, "a", "2024-01-01 12:00:00")],
+        "lid long, key string, ts string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(
+        [(100, "a", "2024-01-01 09:50:00", 1.0)],
+        "rid long, key string, ts string, payload double").withColumn(
+            "ts", F.to_timestamp("ts"))
+    got = {row["lid"]: row["rid"]
+           for row in asof_join(l, r, on="key",
+                                tolerance="30 minutes").collect()}
+    assert got == {1: 100, 2: None}      # 12:00 is 130 min past the click
+
+
+def test_asof_tiebreak_deterministic(spark):
+    l = spark.createDataFrame([(1, "a", 10.0)],
+                              "lid long, key string, ts double")
+    r = spark.createDataFrame(
+        [(100, "a", 10.0, 1.0), (102, "a", 10.0, 3.0), (101, "a", 10.0, 2.0)],
+        "rid long, key string, ts double, payload double")
+    for _ in range(3):
+        row = asof_join(l, r.repartition(5), on="key",
+                        tiebreak="rid").collect()[0]
+        assert (row["rid"], row["payload"]) == (102, 3.0)   # max rid wins
+
+
+def test_asof_collision_suffix_and_one_shuffle(spark):
+    l, r = _dfs(spark)
+    out = asof_join(l, r, on="key")
+    assert out.columns == ["lid", "key", "ts", "rid", "ts_right", "payload"]
+    assert plans.count_shuffles(out) == 1          # ONE exchange on the key
+    assert "CartesianProduct" not in plans.executed_plan(out)
+
+
+def test_asof_validates(spark):
+    l, r = _dfs(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, on="key", direction="sideways")
+    with pytest.raises(ValueError, match="missing"):
+        asof_join(l, r, on="nope")
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+POINTS = [(i, "u" if i % 2 else "v", float(i * 3)) for i in range(20)]
+IVALS = [(200, "u", 5.0, 20.0), (201, "v", 18.0, 19.0),
+         (202, "u", 40.0, 41.0), (203, "w", 0.0, 100.0),
+         (204, "v", 30.0, 30.0)]        # empty interval -> never matches
+
+
+def _brute(keys):
+    out = set()
+    for pid, pk, p in POINTS:
+        for iid, ik, s, e in IVALS:
+            if keys and pk != ik:
+                continue
+            if s <= p < e:
+                out.add((pid, iid))
+    return out
+
+
+@pytest.mark.parametrize("width", [1, 7, 1000])
+@pytest.mark.parametrize("use_keys", [False, True])
+def test_range_join_equals_bruteforce(spark, width, use_keys):
+    p = spark.createDataFrame(POINTS, "pid long, key string, p double")
+    iv = spark.createDataFrame(IVALS, "iid long, key string, s double, e double")
+    if not use_keys:
+        iv = iv.drop("key")
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(p, iv, "p", "s", "e", width,
+                      keys="key" if use_keys else None).collect()}
+    assert got == _brute(use_keys), (width, use_keys)
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    p = spark.createDataFrame(POINTS, "pid long, key string, p double")
+    iv = spark.createDataFrame(
+        IVALS, "iid long, key string, s double, e double")
+    out = range_join(p, iv, "p", "s", "e", 10, keys="key", how="left")
+    rows = out.collect()
+    matched = {(r["pid"], r["iid"]) for r in rows if r["iid"] is not None}
+    assert matched == _brute(True)
+    assert {r["pid"] for r in rows} == {p[0] for p in POINTS}   # all points
+
+
+def test_range_join_no_cartesian(spark):
+    p = spark.createDataFrame(POINTS, "pid long, key string, p double")
+    iv = spark.createDataFrame(
+        IVALS, "iid long, key string, s double, e double")
+    plan = plans.executed_plan(range_join(p, iv, "p", "s", "e", 10,
+                                          keys="key"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_range_join_validates(spark):
+    p = spark.createDataFrame(POINTS, "pid long, key string, p double")
+    iv = spark.createDataFrame(
+        IVALS, "iid long, key string, s double, e double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(p, iv, "p", "s", "e", 0)
+    with pytest.raises(ValueError, match="how"):
+        range_join(p, iv, "p", "s", "e", 5, how="outer")
