@@ -523,6 +523,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           bucket_width=7200, keys="user_id")
     q["W5_range_join"] = w5_range
 
+    def q10_time_rollup(spark, sf_dir):
+        # hypertable-style continuous aggregate: minute/hour/day levels in
+        # one hierarchical pass (raw rows shuffled once; coarser levels
+        # re-aggregate the previous level's cached partials)
+        from pysemanticcomplexity_spark.operators.temporal import time_rollup
+        e = _events(spark, sf_dir)
+        cents = F.round(F.col("value") * 100).cast("long")
+        return time_rollup(e.withColumn("cents", cents), "ts", "cents")
+    q["Q10_time_rollup"] = q10_time_rollup
+
     def q5_multiway(spark, sf_dir):
         # TPC-H Q5 shape: 5-way join, small dims broadcast, big side shuffled
         # once on the join key chain
@@ -757,6 +767,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (dedup.bloom_flag(d, bm, n_hashes=3, hash_fn="poly")
                 .select("doc_id", "possibly_seen"))
     q["D10_bloom_novelty"] = d10_bloom_novelty
+
+    def t7_hll_registers(spark, sf_dir):
+        # deterministic HLL register table over the text keys (poly family
+        # so DuckDB rebuilds every register bit-for-bit); the estimate
+        # derived from these registers is pinned in tests/test_dedup.py
+        from pysemanticcomplexity_spark.operators.dedup import hll_registers
+        return hll_registers(_docs(spark, sf_dir), key_col="text", p=8,
+                             hash_fn="poly")
+    q["T7_hll_registers"] = t7_hll_registers
 
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
@@ -2269,6 +2288,22 @@ FROM c JOIN s ON c.user_id = s.user_id
   AND s.w_start <= c.click_epoch AND c.click_epoch < s.w_end
 """
 
+    o["Q10_time_rollup"] = """
+WITH base AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+SELECT 'minute' AS granularity, date_trunc('minute', ts) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_val
+FROM base GROUP BY 2
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts),
+       CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY 2
+"""
+
     o["W2_sessionize"] = """
 WITH l AS (
   SELECT user_id, ts,
@@ -3705,6 +3740,27 @@ SELECT doc_id,
        count(*) FILTER (WHERE p IN (SELECT p FROM priorpos)) = count(*)
          AS possibly_seen
 FROM newpos GROUP BY doc_id
+"""
+
+    # T7: HLL registers replayed in SQL — bucket/rho from the same affine
+    # poly pair; rho = leading zeros + 1 of the 30-bit value via unpadded
+    # bin() (identical in both engines)
+    _h1a, _h1b = minhash_seeds(2)[0]
+    _h2a, _h2b = minhash_seeds(2)[1]
+    o["T7_hll_registers"] = f"""
+WITH hh AS (SELECT CAST(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(str_split(coalesce(text, ''), ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS h
+            FROM documents),
+rv AS (SELECT ((h * {_h1a} + {_h1b}) % 1000000007) % 256 AS bucket,
+              ((h * {_h2a} + {_h2b}) % 1000000007) % {1 << 30} AS v
+       FROM hh)
+SELECT bucket,
+       CAST(max(CASE WHEN v = 0 THEN 31
+                     ELSE 30 - length(bin(v)) + 1 END) AS BIGINT) AS max_rho
+FROM rv GROUP BY bucket
 """
 
     # C4/C5/C6: the mix-recipe trio over the same portable sampling hash

@@ -84,7 +84,8 @@ __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "fuzzy_dedup_retained", "line_dedup", "ngram_span_hashes",
            "duplicate_gram_positions", "duplicate_spans",
            "duplicate_span_stats", "reliable_checkpointer",
-           "bloom_build", "bloom_flag", "bloom_novel"]
+           "bloom_build", "bloom_flag", "bloom_novel",
+           "hll_registers", "hll_estimate", "approx_distinct"]
 
 
 def normalize_text(col) -> F.Column:
@@ -937,3 +938,78 @@ def bloom_novel(new_docs: DataFrame, prior_docs: DataFrame,
     flagged = bloom_flag(new_docs, bm, text_col=text_col,
                          n_hashes=n_hashes, hash_fn=hash_fn)
     return flagged.filter(~F.col("possibly_seen")).drop("possibly_seen")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch (deterministic, engine-portable registers)
+# ---------------------------------------------------------------------------
+# The bookkeeping companion to the dedup family: distinct-key estimates size
+# the Bloom filter (n_bits ~ 10 x distinct keys for ~1% FP), budget dedup
+# shuffles, and feed crawl-governance dashboards — without ever paying a
+# COUNT(DISTINCT) shuffle of the key universe. Registers merge by MAX, so
+# per-partition partial sketches combine associatively (one tiny shuffle of
+# 2^p rows) and sketches of different corpus shards union for free.
+# Spark's own approx_count_distinct is the JVM fast path; this sketch exists
+# where the REGISTERS themselves must be stored, merged across systems, or
+# cross-engine-verified: the register table is pure integer arithmetic,
+# bitwise identical on Spark and DuckDB (hash_fn='poly').
+
+HLL_RHO_WIDTH = 30   # bits of the rho source; caps a register at 31
+
+
+def hll_registers(docs: DataFrame, key_col: str = "text",
+                  p: int = 12, hash_fn: str = "xxhash") -> DataFrame:
+    """(bucket, max_rho) HyperLogLog registers over a key column:
+    bucket = hash1(key) mod 2^p; rho = leading-zero count + 1 of the
+    HLL_RHO_WIDTH-bit hash2 value (bit length via ``bin()``, identical
+    in Spark and DuckDB). Buckets no key maps to are absent (their
+    register is implicitly 0). One map-side-combined groupBy of 2^p
+    groups — the corpus never shuffles, only the sketch does."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    if hash_fn == "xxhash":
+        h1, h2 = F.xxhash64(key), F.xxhash64(F.lit(1), key)
+    elif hash_fn == "poly":
+        h0 = poly_hash_expr(key)
+        (a1, b1), (a2, b2) = minhash_seeds(2)
+        h1 = (h0 * a1 + b1) % POLY_MOD
+        h2 = (h0 * a2 + b2) % POLY_MOD
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
+    v = F.pmod(h2, F.lit(1 << HLL_RHO_WIDTH))
+    rho = (F.when(v == 0, F.lit(HLL_RHO_WIDTH + 1))
+           .otherwise(F.lit(HLL_RHO_WIDTH) - F.length(F.bin(v)) + 1)
+           .cast("long"))
+    return (docs.select(F.pmod(h1, F.lit(m)).cast("long").alias("bucket"),
+                        rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_estimate(registers, p: int) -> float:
+    """Driver-side HLL estimate from a :func:`hll_registers` result (a
+    DataFrame or (bucket, max_rho) iterable): standard bias-corrected
+    harmonic mean with the small-range linear-counting correction
+    (Flajolet et al. 2007). Deterministic given the registers."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    if isinstance(registers, DataFrame):
+        registers = [(r["bucket"], r["max_rho"]) for r in registers.collect()]
+    regs = {int(b): int(r) for b, r in registers}
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -regs.get(i, 0) for i in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros:
+        import math
+        est = m * math.log(m / zeros)       # linear counting
+    return est
+
+
+def approx_distinct(docs: DataFrame, key_col: str = "text",
+                    p: int = 12, hash_fn: str = "xxhash") -> float:
+    """One-call distinct-key estimate via :func:`hll_registers` +
+    :func:`hll_estimate` (relative error ~ 1.04 / sqrt(2^p))."""
+    return hll_estimate(hll_registers(docs, key_col, p, hash_fn), p)

@@ -34,7 +34,7 @@ from typing import List, Union
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "time_rollup", "GRANULARITY_CHAIN"]
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -172,3 +172,64 @@ def range_join(points: DataFrame, intervals: DataFrame,
                       *[F.lit(None).cast(intervals.schema[c].dataType)
                         .alias(c) for c in ival_cols]))
     return joined.unionByName(misses)
+
+
+GRANULARITY_CHAIN = ("minute", "hour", "day", "week", "month", "year")
+
+
+def time_rollup(df: DataFrame, ts_col: str, value_col: str,
+                granularities=("minute", "hour", "day"),
+                persist: bool = True) -> DataFrame:
+    """Hypertable-style continuous aggregate: (granularity, bucket_ts,
+    n_rows, sum_val) at every requested granularity in one pass.
+
+    The scale shape is HIERARCHICAL REUSE — the corpus is scanned and
+    shuffled ONCE into finest-granularity partials; every coarser level
+    re-aggregates the previous level's partials (minute -> hour rolls up
+    60 rows per bucket, not the raw corpus). A 100 TB event table pays
+    one wide shuffle; the rollup chain afterwards is dimension-sized.
+    This is exactly how TimescaleDB continuous aggregates / Druid rollup
+    segments maintain multi-resolution views.
+
+    Reuse must be PHYSICAL, not just structural: Spark does not dedupe
+    common subplans across the output union's branches, so each level is
+    persisted (``persist=False`` to opt out and recompute — only sane
+    when the input itself is a cached/cheap relation). The cached
+    partials are bucket-count-sized, not corpus-sized. The alternative
+    single-pass shape (grouping sets over the raw table) shuffles
+    len(granularities) x the corpus through one exchange — strictly
+    worse whenever the input is bigger than the finest bucket count.
+
+    ``value_col`` must be integer-valued (cents-style): integer partial
+    sums re-aggregate exactly at every level on any engine, where double
+    sums would drift by summation order. ``granularities`` must be a
+    strictly-coarsening subsequence of ``GRANULARITY_CHAIN``.
+    """
+    gran = list(granularities)
+    chain_pos = [GRANULARITY_CHAIN.index(g) for g in gran
+                 if g in GRANULARITY_CHAIN]
+    if len(chain_pos) != len(gran) or sorted(chain_pos) != chain_pos \
+            or len(set(chain_pos)) != len(chain_pos) or not gran:
+        raise ValueError(
+            f"granularities must be a strictly-coarsening subsequence of "
+            f"{GRANULARITY_CHAIN}, got {tuple(gran)}")
+
+    level = (df.groupBy(F.date_trunc(gran[0], F.col(ts_col))
+                        .alias("bucket_ts"))
+             .agg(F.count("*").cast("long").alias("n_rows"),
+                  F.sum(value_col).cast("long").alias("sum_val")))
+    if persist and len(gran) > 1:
+        level = level.persist()
+    out = level.select(F.lit(gran[0]).alias("granularity"),
+                       "bucket_ts", "n_rows", "sum_val")
+    for i, g in enumerate(gran[1:], start=1):
+        level = (level.groupBy(F.date_trunc(g, F.col("bucket_ts"))
+                               .alias("bucket_ts"))
+                 .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                      F.sum("sum_val").cast("long").alias("sum_val")))
+        if persist and i < len(gran) - 1:
+            level = level.persist()
+        out = out.unionByName(
+            level.select(F.lit(g).alias("granularity"),
+                         "bucket_ts", "n_rows", "sum_val"))
+    return out

@@ -704,3 +704,87 @@ def test_streaming_bloom_novel_sequential_replay(spark, tmp_path):
     process(spark.createDataFrame(batches[1], schema), 1)
     after = sorted(map(tuple, spark.read.parquet(novel_dir).collect()))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch
+# ---------------------------------------------------------------------------
+
+def _keys_df(spark, n, dups=0):
+    rows = [(i, f"unique key number {i}") for i in range(n)]
+    rows += [(n + j, f"unique key number {j % n}") for j in range(dups)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 5000
+    est = dedup.approx_distinct(_keys_df(spark, n), p=12)
+    assert abs(est - n) / n < 0.05           # sigma ~ 1.04/sqrt(4096) = 1.6%
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    a = dedup.hll_registers(_keys_df(spark, 800), p=10)
+    b = dedup.hll_registers(_keys_df(spark, 800, dups=1600), p=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hll_small_range_linear_counting(spark):
+    n = 40
+    est = dedup.approx_distinct(_keys_df(spark, n), p=12)
+    assert abs(est - n) / n < 0.05           # linear-counting regime
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketches of shards union by per-bucket MAX — the associative merge
+    that makes the sketch distributable and cross-system mergeable."""
+    import pyspark.sql.functions as F
+    df = _keys_df(spark, 1000)
+    full = {r["bucket"]: r["max_rho"]
+            for r in dedup.hll_registers(df, p=10).collect()}
+    s1 = {r["bucket"]: r["max_rho"] for r in
+          dedup.hll_registers(df.filter("doc_id < 400"), p=10).collect()}
+    s2 = {r["bucket"]: r["max_rho"] for r in
+          dedup.hll_registers(df.filter("doc_id >= 400"), p=10).collect()}
+    merged = {b: max(s1.get(b, 0), s2.get(b, 0)) for b in set(s1) | set(s2)}
+    assert merged == full
+
+
+def test_hll_poly_matches_python_replica(spark):
+    n, p = 200, 8
+    (a1, b1), (a2, b2) = dedup.minhash_seeds(2)
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % dedup.POLY_MOD
+        return h
+
+    want = {}
+    for i in range(n):
+        h = poly(f"unique key number {i}")
+        bkt = ((h * a1 + b1) % dedup.POLY_MOD) % (1 << p)
+        v = ((h * a2 + b2) % dedup.POLY_MOD) % (1 << 30)
+        rho = 31 if v == 0 else 30 - v.bit_length() + 1
+        want[bkt] = max(want.get(bkt, 0), rho)
+    got = {r["bucket"]: r["max_rho"] for r in
+           dedup.hll_registers(_keys_df(spark, n), p=p,
+                               hash_fn="poly").collect()}
+    assert got == want
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    df = _keys_df(spark, 500)
+    a = dedup.hll_registers(df.repartition(1), p=9).collect()
+    b = dedup.hll_registers(df.repartition(13, "text"), p=9).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll_validates(spark):
+    import pytest as _pytest
+    df = _keys_df(spark, 10)
+    with _pytest.raises(ValueError, match="p must"):
+        dedup.hll_registers(df, p=3)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dedup.hll_registers(df, hash_fn="nope")
+    with _pytest.raises(ValueError, match="p must"):
+        dedup.hll_estimate([], p=50)

@@ -153,3 +153,59 @@ def test_range_join_validates(spark):
         range_join(p, iv, "p", "s", "e", 0)
     with pytest.raises(ValueError, match="how"):
         range_join(p, iv, "p", "s", "e", 5, how="outer")
+
+
+# ---------------------------------------------------------------------------
+# time rollup
+# ---------------------------------------------------------------------------
+
+EVENTS = [
+    (1, "2024-01-01 10:00:10", 100), (2, "2024-01-01 10:00:50", 200),
+    (3, "2024-01-01 10:59:59", 300), (4, "2024-01-01 11:00:00", 400),
+    (5, "2024-01-02 23:30:00", 500),
+]
+
+
+def _events_df(spark):
+    from pysemanticcomplexity_spark.operators.temporal import time_rollup
+    df = spark.createDataFrame(EVENTS, "id long, ts string, cents long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    return time_rollup(df, "ts", "cents")
+
+
+def test_time_rollup_levels_consistent(spark):
+    rows = _events_df(spark).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["granularity"], {})[r["bucket_ts"]] = \
+            (r["n_rows"], r["sum_val"])
+    # direct expectations
+    assert len(by_g["minute"]) == 4           # 10:00 has two events
+    assert by_g["minute"][min(by_g["minute"])] == (2, 300)
+    assert len(by_g["hour"]) == 3 and len(by_g["day"]) == 2
+    # every level re-aggregates to the same totals
+    for g, buckets in by_g.items():
+        assert sum(n for n, _ in buckets.values()) == len(EVENTS), g
+        assert sum(s for _, s in buckets.values()) == 1500, g
+
+
+def test_time_rollup_hierarchical_reuse_single_wide_shuffle(spark):
+    """The raw table is shuffled once (minute level); hour/day aggregate
+    the PREVIOUS level's cached partials — one hash exchange per level.
+    Cached plans are re-rendered inside every InMemoryRelation block, so
+    count DISTINCT exchange plan ids, not string occurrences."""
+    import re
+    out = _events_df(spark)
+    plan = plans.executed_plan(out)
+    assert "InMemoryTableScan" in plan        # physical reuse, not recompute
+    ids = set(re.findall(r"Exchange hashpartitioning\(.*\[plan_id=(\d+)\]",
+                         plan))
+    assert len(ids) == 3                      # one per granularity level
+
+
+def test_time_rollup_validates(spark):
+    from pysemanticcomplexity_spark.operators.temporal import time_rollup
+    df = spark.createDataFrame(EVENTS, "id long, ts string, cents long")
+    for bad in [("hour", "minute"), ("minute", "minute"), (), ("fortnight",)]:
+        with pytest.raises(ValueError, match="granularities"):
+            time_rollup(df, "ts", "cents", bad)
