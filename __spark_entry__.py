@@ -169,7 +169,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries, by design — see oracle_sql's trailing comment)
 DRIVER_WINDOW = [
     # KG core (SURVEY §2: P/S/A/G/M families)
-    "P1_clean_text", "P2_P3_paragraphs", "P5_token_count", "P6_offset_window",
+    "P1_clean_text", "P2_P3_paragraphs", "P5_token_count",
     "S7_mentions_sql", "A2_type_counts", "A3_link_counts",
     "A4_concept_info", "A5_last_wins_events", "G1_parents", "G2_closure",
     "G3_triples_sql_model", "M_graph_density",
@@ -183,9 +183,11 @@ DRIVER_WINDOW = [
     # PageRank, both bitwise-hash-graded)
     "KG_entity_pmi", "KG_pagerank",
     # dedup family (D5 brute-force oracle sits past the window: D5b is the
-    # production embedding-near-dup path and D8 the line-dedup family)
+    # production embedding-near-dup path and D8 the line-dedup family;
+    # D7_fuzzy_retained is past-window — it composes in-window D2 + D6 —
+    # so the Bloom-frontier sub-family gets its slot)
     "D1_exact_dedup", "D2_ngram_jaccard", "D3_minhash_lsh", "D4_simhash",
-    "D5b_lsh_neardup", "D6_dup_clusters", "D7_fuzzy_retained",
+    "D5b_lsh_neardup", "D6_dup_clusters", "D10_bloom_novelty",
     "D8_line_dedup",
     # similarity family
     "S1_cosine_topk", "S2_lsh_topk", "S3_ivf_topk",
@@ -201,6 +203,10 @@ DRIVER_WINDOW = [
     "MM_decode_suite", "T_doc_profile", "T4_winnowing", "T6_pii_scrub",
     "QF_doc_quality", "L3_syntactic", "QF4_model_quality",
     "U1_url_canonical",
+    # temporal-join family (P6_offset_window ceded this slot: its offset
+    # re-basing is hash-covered through KG_features_checksum's
+    # textDensity offsets, and the P6 oracle stays in the local sweep)
+    "W4_asof_attribution",
 ]
 
 

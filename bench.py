@@ -106,7 +106,9 @@ def main():
                  "QF4_model_quality", "C3b_pack_split",
                  "C4_upsample", "C6_token_budget", "D9b_span_stats",
                  "L2_pos_lexical", "L3b_syntactic_text",
-                 "KG_entity_pmi", "KG_pagerank"]:
+                 "KG_entity_pmi", "KG_pagerank", "D10_bloom_novelty",
+                 "W4_asof_attribution", "Q10_time_rollup",
+                 "T7_hll_registers"]:
         timed(name, lambda n=name: qs[n](spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 
