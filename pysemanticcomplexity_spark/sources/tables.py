@@ -12,7 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["concepts_nested", "write_table", "read_table", "write_features_csv"]
+__all__ = ["concepts_nested", "write_table", "read_table",
+           "write_features_csv", "iceberg_available"]
 
 
 def concepts_nested(mentions: DataFrame, doc_words: DataFrame) -> DataFrame:
@@ -41,16 +42,61 @@ def concepts_nested(mentions: DataFrame, doc_words: DataFrame) -> DataFrame:
                         agg.schema["mentions"].dataType)).alias("mentions")))
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
 def write_table(df: DataFrame, path: str, n_buckets: int = 64,
-                bucket_col: str = "url") -> None:
-    """Bucketed parquet write (deterministic pmod(xxhash64) partitioning)."""
-    (df.withColumn("bucket",
-                   F.pmod(F.xxhash64(bucket_col), F.lit(n_buckets)).cast("int"))
-     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+                bucket_col: str = "url",
+                table_format: str = "parquet") -> None:
+    """Bucketed stage-table write.
+
+    ``table_format='parquet'`` (default, always available): deterministic
+    ``pmod(xxhash64)`` directory partitioning — the Iceberg-style layout
+    every reader/resume path in this repo targets. ``'iceberg'``: the
+    same bucketing through Iceberg's NATIVE ``bucket(n, col)`` partition
+    transform via ``writeTo`` (``path`` is then the catalog table name).
+    The Iceberg runtime jar + a catalog config are deployment choices, so
+    the branch is capability-gated: absent the classes it raises with the
+    exact spark-submit flags to add rather than failing deep in the JVM.
+    """
+    if table_format == "parquet":
+        (df.withColumn("bucket",
+                       F.pmod(F.xxhash64(bucket_col),
+                              F.lit(n_buckets)).cast("int"))
+         .write.mode("overwrite").partitionBy("bucket").parquet(path))
+        return
+    if table_format == "iceberg":
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath. Launch with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                "<spark-ver>_<scala-ver>:<iceberg-ver> and configure a "
+                "catalog (spark.sql.catalog.<name>=org.apache.iceberg."
+                "spark.SparkCatalog); then pass the catalog table name "
+                "as `path`.")
+        (df.writeTo(path).using("iceberg")
+         .partitionedBy(F.bucket(n_buckets, bucket_col))
+         .createOrReplace())
+        return
+    raise ValueError(f"table_format must be 'parquet' or 'iceberg', "
+                     f"got {table_format!r}")
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("bucket")
+def read_table(spark: SparkSession, path: str,
+               table_format: str = "parquet") -> DataFrame:
+    if table_format == "parquet":
+        return spark.read.parquet(path).drop("bucket")
+    if table_format == "iceberg":
+        return spark.table(path)
+    raise ValueError(f"table_format must be 'parquet' or 'iceberg', "
+                     f"got {table_format!r}")
 
 
 def write_features_csv(features: DataFrame, path: str,

@@ -318,3 +318,21 @@ def test_streaming_dup_spans_equal_batch(spark, tmp_path):
             duplicate_gram_positions(batch_docs, n=5, min_docs=2).collect()}
     assert got == want
     assert {i for i, _ in got} == {0, 2, 3}   # doc 0 flagged retroactively
+
+
+def test_iceberg_gate_and_parquet_default(spark, tmp_path):
+    """The Iceberg branch is capability-gated with actionable guidance;
+    the parquet default is unchanged."""
+    import pytest as _pytest
+    from pysemanticcomplexity_spark.sources import tables
+    df = spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v long")
+    assert tables.iceberg_available(spark) is False   # no jars in sandbox
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        tables.write_table(df, "cat.db.t", table_format="iceberg")
+    with _pytest.raises(ValueError, match="table_format"):
+        tables.write_table(df, str(tmp_path / "t"), table_format="orc")
+    path = str(tmp_path / "t")
+    tables.write_table(df, path, n_buckets=4)
+    got = tables.read_table(spark, path)
+    assert sorted((r["url"], r["v"]) for r in got.collect()) == \
+        [("u1", 1), ("u2", 2)]
