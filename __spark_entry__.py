@@ -3735,9 +3735,14 @@ FROM t LEFT JOIN dtot d ON d.id = t.id
         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)"""
     o["D10_bloom_novelty"] = rf"""
 WITH keys AS (SELECT doc_id,
-                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+                     regexp_replace(trim(lower(coalesce(text, ''))),
+                                    '\s+', ' ', 'g') AS k
               FROM documents),
-hh AS (SELECT doc_id, {_bloom_fold} AS h FROM keys),
+hf AS (SELECT doc_id, {_bloom_fold} AS f FROM keys),
+hh AS (SELECT doc_id,
+              (((f * 387420489 + 998244353) % 1000000007)
+               * ((f * 1000003 + 17) % 1000000007)) % 1000000007 AS h
+       FROM hf),
 seeds(a, b) AS (VALUES {_bloom_seeds}),
 newpos AS (SELECT doc_id, ((hh.h * s.a + s.b) % 1000000007) % {1 << 18} AS p
            FROM hh CROSS JOIN seeds s),
@@ -3749,19 +3754,26 @@ FROM newpos GROUP BY doc_id
 """
 
     # T7: HLL registers replayed in SQL — bucket/rho from the same affine
-    # poly pair; rho = leading zeros + 1 of the 30-bit value via unpadded
-    # bin() (identical in both engines)
-    _h1a, _h1b = minhash_seeds(2)[0]
-    _h2a, _h2b = minhash_seeds(2)[1]
+    # poly family; the rho source combines TWO affine values (~2^60 range:
+    # one value < POLY_MOD < 2^30 would make the mod a no-op and bias the
+    # registers); rho = leading zeros + 1 via unpadded bin() (identical in
+    # both engines)
+    _h1a, _h1b = minhash_seeds(3)[0]
+    _h2a, _h2b = minhash_seeds(3)[1]
+    _h3a, _h3b = minhash_seeds(3)[2]
     o["T7_hll_registers"] = f"""
-WITH hh AS (SELECT CAST(list_reduce(
+WITH hf AS (SELECT CAST(list_reduce(
         list_prepend(CAST(0 AS BIGINT),
                      list_transform(str_split(coalesce(text, ''), ''),
                                     c -> CAST(ascii(c) AS BIGINT))),
-        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS h
+        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS f
             FROM documents),
+hh AS (SELECT (((f * 387420489 + 998244353) % 1000000007)
+               * ((f * 1000003 + 17) % 1000000007)) % 1000000007 AS h
+       FROM hf),
 rv AS (SELECT ((h * {_h1a} + {_h1b}) % 1000000007) % 256 AS bucket,
-              ((h * {_h2a} + {_h2b}) % 1000000007) % {1 << 30} AS v
+              (((h * {_h2a} + {_h2b}) % 1000000007) * 1000000007
+               + (h * {_h3a} + {_h3b}) % 1000000007) % {1 << 30} AS v
        FROM hh)
 SELECT bucket,
        CAST(max(CASE WHEN v = 0 THEN 31

@@ -190,8 +190,12 @@ def pack_sequences(docs: DataFrame, capacity: int,
 
     from pyspark.sql import Window
 
+    # NULL ids cannot be range-bucketed or ordered (they would surface as
+    # a None bucket key in the driver-side offset sort) — dropped, the
+    # same policy as training_order / take_token_budget
     base = docs.select(F.col(id_col).alias("id"),
-                       F.col(token_col).alias("n_tokens"))
+                       F.col(token_col).alias("n_tokens")) \
+        .filter(F.col("id").isNotNull())
     probs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(base.stat.approxQuantile("id", probs, 0.01)))
     if bounds:

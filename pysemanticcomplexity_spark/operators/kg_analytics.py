@@ -88,7 +88,7 @@ def entity_cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
     pm = (mentions
           .select(F.col(doc_col).alias("_doc"), F.col(uri_col).alias("_uri"),
                   F.col(count_col).alias("_occ"))
-          .filter(F.col("_uri").isNotNull())
+          .filter(F.col("_uri").isNotNull() & F.col("_doc").isNotNull())
           .groupBy("_doc", "_uri").agg(F.sum("_occ").alias("_occ")))
     if max_per_doc is not None:
         if max_per_doc < 1:

@@ -76,6 +76,12 @@ def asof_join(left: DataFrame, right: DataFrame,
     asc = direction == "backward"
     tb = (F.col(tiebreak) if tiebreak is not None
           else F.lit(0))
+    # SQL join semantics: equality never matches NULL keys. The window
+    # partitions NULL keys together, so NULL-key right rows must be
+    # dropped (NULL-key left rows then sit in a right-free partition and
+    # come back unmatched, as a left join would return them).
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     r_side = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
@@ -162,16 +168,14 @@ def range_join(points: DataFrame, intervals: DataFrame,
         cond = cond & (F.col(f"_pt.{k}") == F.col(f"_iv.{k}"))
     cond = (cond & (F.col(f"_iv.{start_col}") <= F.col(f"_pt.{point_col}"))
             & (F.col(f"_pt.{point_col}") < F.col(f"_iv.{end_col}")))
-    joined = pts.join(ivals, cond, "inner") \
-        .select(*[F.col(f"_pt.{c}") for c in points.columns],
-                *[F.col(f"_iv.{c}") for c in ival_cols])
-    if how == "inner":
-        return joined
-    misses = (pts.join(ivals, cond, "left_anti")
-              .select(*[F.col(f"_pt.{c}") for c in points.columns],
-                      *[F.lit(None).cast(intervals.schema[c].dataType)
-                        .alias(c) for c in ival_cols]))
-    return joined.unionByName(misses)
+    # 'left' is ONE left outer join on the same condition (NULL-padded
+    # misses for free) rather than inner + left_anti, which would scan
+    # and shuffle both sides — incl. the exploded interval buckets —
+    # twice. No dedup needed: a point maps to exactly one bucket, so
+    # each (point, interval) pair meets at most once.
+    joined = pts.join(ivals, cond, how)
+    return joined.select(*[F.col(f"_pt.{c}") for c in points.columns],
+                         *[F.col(f"_iv.{c}") for c in ival_cols])
 
 
 GRANULARITY_CHAIN = ("minute", "hour", "day", "week", "month", "year")
@@ -213,6 +217,15 @@ def time_rollup(df: DataFrame, ts_col: str, value_col: str,
         raise ValueError(
             f"granularities must be a strictly-coarsening subsequence of "
             f"{GRANULARITY_CHAIN}, got {tuple(gran)}")
+    if "week" in gran[:-1]:
+        # ISO weeks do NOT nest inside months/years: date_trunc('month')
+        # of a week bucket attributes boundary weeks to the wrong month
+        # (e.g. Sun 2026-02-01 lives in the week of Mon 2026-01-26, which
+        # a week->month rollup would count into January)
+        raise ValueError(
+            "granularities: 'week' must be the last level — weeks do not "
+            "nest inside coarser calendar units, so rolling week partials "
+            "up to month/year misattributes boundary weeks")
 
     level = (df.groupBy(F.date_trunc(gran[0], F.col(ts_col))
                         .alias("bucket_ts"))

@@ -273,27 +273,33 @@ def streaming_bloom_novel(words_dir: str, novel_dir: str, *,
     micro-batch (1) probes its rows against the bitmap accumulated from
     every PRIOR batch (broadcast, zero-shuffle scan-side map), (2) keeps
     within-batch first occurrences (min ``id_col`` per 128-bit exact key),
-    (3) appends the surviving "novel" rows to ``novel_dir`` and the rows'
-    bit positions — reduced to 64-bit words — to ``words_dir``, both
-    partitioned by ``batch_id`` with dynamic partition overwrite so a
-    replayed batch overwrites exactly its own output (idempotent under
-    foreachBatch's at-least-once contract; the bitmap read filters
-    ``batch_id < current``, so a replay sees the same prior state).
+    (3) appends the surviving "novel" rows to ``novel_dir`` and a
+    CUMULATIVE word-table snapshot (prior words bit-or'd with the batch's
+    emitted keys' words) to ``words_dir``, both partitioned by
+    ``batch_id`` with dynamic partition overwrite so a replayed batch
+    overwrites exactly its own output (idempotent under foreachBatch's
+    at-least-once contract; the bitmap read takes the LATEST snapshot
+    with ``batch_id < current``, so a replay sees the same prior state).
 
-    History state is O(n_bits) words REGARDLESS of corpus size — the
-    trillion-key frontier never joins, never shuffles against history.
-    Only EMITTED keys enter the filter: a row dropped as a false positive
-    was never emitted, and if its text reappears it maps to the same set
-    positions and is dropped again, so "no text is emitted twice" holds
-    exactly; the cost stays the documented FP-rate loss of novel rows.
+    Because each snapshot is the full bit-or'd state, every micro-batch
+    reads exactly ONE partition of <= n_bits/64 rows — per-batch driver
+    work stays O(n_bits) REGARDLESS of stream age (incremental per-batch
+    word deltas would instead force re-aggregating every historical
+    partition each batch, linear in batch count). The trillion-key
+    frontier never joins, never shuffles against history. Only EMITTED
+    keys enter the filter: a row dropped as a false positive was never
+    emitted, and if its text reappears it maps to the same set positions
+    and is dropped again, so "no text is emitted twice" holds exactly;
+    the cost stays the documented FP-rate loss of novel rows.
 
     Returns the function to pass to ``stream.writeStream.foreachBatch``.
     """
-    import numpy as np
     from pyspark.errors import AnalysisException
 
-    from ..operators.dedup import (_bloom_positions, _check_bloom_params,
-                                   bloom_flag, normalize_text)
+    from ..operators.dedup import (_bloom_positions, _bloom_word_table,
+                                   _check_bloom_params, _words_to_bitmap,
+                                   bloom_flag, exact_key_cols,
+                                   normalize_text)
     from ..operators import dedup as _d
 
     n_bits = _d.BLOOM_DEFAULT_BITS if n_bits is None else n_bits
@@ -302,35 +308,37 @@ def streaming_bloom_novel(words_dir: str, novel_dir: str, *,
     if hash_fn not in ("xxhash", "poly"):
         raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
 
-    def _prior_bitmap(spark, batch_id: int):
-        """Word table of batches < batch_id, or None before any commit.
-        Probed by attempting the read, never a driver-local isdir (the
-        sink may be HDFS/S3, or a crashed write may leave a footerless
-        dir) — same contract as streaming_simhash_pairs above."""
+    def _prior_words(spark, batch_id: int):
+        """The latest cumulative snapshot with batch_id < current, or
+        None before any commit. Probed by attempting the read, never a
+        driver-local isdir (the sink may be HDFS/S3, or a crashed write
+        may leave a footerless dir) — same contract as
+        streaming_simhash_pairs above."""
         try:
             w = spark.read.parquet(words_dir)
-            w.schema
+            w.schema  # force analysis now, inside the try
         except AnalysisException:
             return None
-        rows = (w.filter(F.col("batch_id") < batch_id)
-                .groupBy("w").agg(F.expr("bit_or(word)").alias("word"))
-                .collect())                      # <= n_bits/64 rows
-        if not rows:
+        prior = w.filter(F.col("batch_id") < batch_id)
+        latest = prior.agg(F.max("batch_id")).collect()[0][0]
+        if latest is None:
             return None
-        bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
-        for r in rows:
-            bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
-        return bitmap
+        return prior.filter(F.col("batch_id") == latest) \
+                    .select("w", "word")
 
     def process(batch_df, batch_id: int):
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
-        bm = _prior_bitmap(spark, batch_id)
-        flagged = (bloom_flag(batch_df, bm, text_col=text_col,
-                              n_hashes=n_hashes, hash_fn=hash_fn)
-                   if bm is not None
-                   else batch_df.withColumn("possibly_seen", F.lit(False)))
+        prior = _prior_words(spark, batch_id)
+        if prior is not None:
+            prior_rows = prior.collect()        # <= n_bits/64 rows
+            bm = _words_to_bitmap(prior_rows, n_bits)
+            flagged = bloom_flag(batch_df, bm, text_col=text_col,
+                                 n_hashes=n_hashes, hash_fn=hash_fn)
+        else:
+            prior_rows = []
+            flagged = batch_df.withColumn("possibly_seen", F.lit(False))
         win = Window.partitionBy("text_key_hi", "text_key_lo") \
                     .orderBy(id_col)
         novel = (flagged.filter(~F.col("possibly_seen"))
@@ -343,15 +351,17 @@ def streaming_bloom_novel(words_dir: str, novel_dir: str, *,
                  .persist())
         try:
             key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
-            words = (novel
-                     .select(F.explode(_bloom_positions(
-                         key, n_bits, n_hashes, hash_fn)).alias("p"))
-                     .select((F.col("p") / 64).cast("long").alias("w"),
-                             F.expr("shiftleft(1L, cast(p % 64 as int))")
-                             .alias("m"))
-                     .groupBy("w").agg(F.expr("bit_or(m)").alias("word")))
+            batch_words = _bloom_word_table(
+                novel.select(F.explode(_bloom_positions(
+                    key, n_bits, n_hashes, hash_fn)).alias("p")))
+            prior_df = spark.createDataFrame(
+                [(r["w"], r["word"]) for r in prior_rows],
+                "w long, word long")
+            snapshot = (batch_words.unionByName(prior_df)
+                        .groupBy("w").agg(F.expr("bit_or(word)")
+                                          .alias("word")))
             with_bid = F.lit(int(batch_id)).alias("batch_id")
-            for df, out in ((novel, novel_dir), (words, words_dir)):
+            for df, out in ((novel, novel_dir), (snapshot, words_dir)):
                 (df.withColumn("batch_id", with_bid)
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")

@@ -616,3 +616,15 @@ def test_take_token_budget_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="budget"):
         take_token_budget(df, {"src0": -1})
+
+
+def test_pack_sequences_drops_null_ids(spark):
+    """A NULL doc id used to surface as a None bucket key and crash the
+    driver-side offset sort (review finding, round 5)."""
+    import pyspark.sql.functions as F
+    from pysemanticcomplexity_spark.operators.corpus import pack_sequences
+    rows = [(i, 10) for i in range(50)] + [(None, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, capacity=25, num_ranges=4).collect()
+    assert len(out) == 50
+    assert all(r["id"] is not None for r in out)

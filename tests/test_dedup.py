@@ -600,7 +600,10 @@ def test_bloom_poly_matches_python_replica(spark):
         return h
 
     def positions(t):
-        h = poly(norm(t))
+        h0 = poly(norm(t))
+        h = (((h0 * dedup.POLY_SCATTER_A + dedup.POLY_SCATTER_B)
+              % dedup.POLY_MOD)
+             * ((h0 * 1_000_003 + 17) % dedup.POLY_MOD)) % dedup.POLY_MOD
         return [((h * a + b) % dedup.POLY_MOD) % n_bits
                 for a, b in dedup.minhash_seeds(k)]
 
@@ -670,6 +673,9 @@ def test_streaming_bloom_novel_sequential_replay(spark, tmp_path):
         h = 0
         for c in norm(t):
             h = (h * 31 + ord(c)) % dedup.POLY_MOD
+        h = (((h * dedup.POLY_SCATTER_A + dedup.POLY_SCATTER_B)
+              % dedup.POLY_MOD)
+             * ((h * 1_000_003 + 17) % dedup.POLY_MOD)) % dedup.POLY_MOD
         return [((h * a + b) % dedup.POLY_MOD) % n_bits
                 for a, b in dedup.minhash_seeds(k)]
 
@@ -751,7 +757,7 @@ def test_hll_registers_merge_by_max(spark):
 
 def test_hll_poly_matches_python_replica(spark):
     n, p = 200, 8
-    (a1, b1), (a2, b2) = dedup.minhash_seeds(2)
+    (a1, b1), (a2, b2), (a3, b3) = dedup.minhash_seeds(3)
 
     def poly(s):
         h = 0
@@ -761,15 +767,29 @@ def test_hll_poly_matches_python_replica(spark):
 
     want = {}
     for i in range(n):
-        h = poly(f"unique key number {i}")
+        h0 = poly(f"unique key number {i}")
+        h = (((h0 * dedup.POLY_SCATTER_A + dedup.POLY_SCATTER_B)
+              % dedup.POLY_MOD)
+             * ((h0 * 1_000_003 + 17) % dedup.POLY_MOD)) % dedup.POLY_MOD
         bkt = ((h * a1 + b1) % dedup.POLY_MOD) % (1 << p)
-        v = ((h * a2 + b2) % dedup.POLY_MOD) % (1 << 30)
+        wide = (((h * a2 + b2) % dedup.POLY_MOD) * dedup.POLY_MOD
+                + (h * a3 + b3) % dedup.POLY_MOD)
+        v = wide % (1 << 30)
         rho = 31 if v == 0 else 30 - v.bit_length() + 1
         want[bkt] = max(want.get(bkt, 0), rho)
     got = {r["bucket"]: r["max_rho"] for r in
            dedup.hll_registers(_keys_df(spark, n), p=p,
                                hash_fn="poly").collect()}
     assert got == want
+
+
+def test_hll_poly_estimate_unbiased(spark):
+    """The poly rho source must be ~uniform on 2^30 values: one affine
+    value is < 2^30, so `mod` would be the identity and estimates would
+    run ~4% high (caught in review; two combined values fix it)."""
+    n = 5000
+    est = dedup.approx_distinct(_keys_df(spark, n), p=12, hash_fn="poly")
+    assert abs(est - n) / n < 0.05
 
 
 def test_hll_deterministic_across_partitionings(spark):

@@ -213,3 +213,13 @@ def test_pagerank_over_cooccurrence_end_to_end(spark):
     assert ranks["u_a"] > ranks["u_d"]
     edges = [(r["src"], r["dst"]) for r in undirected_edges(cooc).collect()]
     assert ranks == _py_pagerank(edges, 3)
+
+
+def test_cooccurrence_ignores_null_docs(spark):
+    """NULL doc ids can't form pairs, so they must not inflate N or df
+    (the SQL oracle's count(DISTINCT doc_id) ignores NULLs)."""
+    with_null = spark.createDataFrame(
+        MENTIONS + [(None, "u_a", 9)], "doc_id string, uri string, occurrences long")
+    clean = entity_cooccurrence(_mentions_df(spark)).collect()
+    dirty = entity_cooccurrence(with_null).collect()
+    assert sorted(map(tuple, clean)) == sorted(map(tuple, dirty))

@@ -209,3 +209,28 @@ def test_time_rollup_validates(spark):
     for bad in [("hour", "minute"), ("minute", "minute"), (), ("fortnight",)]:
         with pytest.raises(ValueError, match="granularities"):
             time_rollup(df, "ts", "cents", bad)
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: equality never matches NULL keys (the window
+    would otherwise group NULL-key rows together and hand the left row a
+    NULL-key right payload, diverging from any ASOF JOIN oracle)."""
+    l = spark.createDataFrame([(1, None, 10.0), (2, "a", 10.0)],
+                              "lid long, key string, ts double")
+    r = spark.createDataFrame([(100, None, 5.0, 1.0), (101, "a", 5.0, 2.0)],
+                              "rid long, key string, ts double, payload double")
+    got = {row["lid"]: row["rid"] for row in asof_join(l, r, on="key").collect()}
+    assert got == {1: None, 2: 101}
+
+
+def test_time_rollup_rejects_week_before_coarser(spark):
+    """ISO weeks don't nest in months/years — week must be terminal."""
+    from pysemanticcomplexity_spark.operators.temporal import time_rollup
+    df = spark.createDataFrame(EVENTS, "id long, ts string, cents long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    for bad in [("week", "month"), ("day", "week", "year")]:
+        with pytest.raises(ValueError, match="week"):
+            time_rollup(df, "ts", "cents", bad)
+    # week as the LAST level is fine
+    rows = time_rollup(df, "ts", "cents", ("day", "week")).collect()
+    assert {r["granularity"] for r in rows} == {"day", "week"}
