@@ -783,6 +783,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              hash_fn="poly")
     q["T7_hll_registers"] = t7_hll_registers
 
+    def r1_bm25_postings(spark, sf_dir):
+        # sparse-retrieval postings for a fixed query: tf/dl/df integers
+        # plus the exact pre-log idf ratio (ln(score) itself is pinned
+        # against the python replica in tests/test_retrieval.py — the
+        # transcendental part stays out of the cross-engine hash)
+        from pysemanticcomplexity_spark.operators.retrieval import term_stats
+        d = _docs(spark, sf_dir)
+        n_docs = d.filter(F.col("doc_id").isNotNull()).count()
+        stats = term_stats(d, terms=["data", "table", "stream"])
+        dfreq = stats.groupBy("term").agg(F.count("*").cast("long")
+                                          .alias("df"))
+        ratio = ((2 * F.lit(n_docs) - 2 * F.col("df") + 1).cast("double")
+                 / (2 * F.col("df") + 1))
+        return (stats.join(F.broadcast(dfreq), "term")
+                .select("doc_id", "term", "tf", "dl", "df",
+                        ratio.alias("idf_ratio")))
+    q["R1_bm25_postings"] = r1_bm25_postings
+
     def d5_emb_neardup(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.dedup import (
             embedding_near_dups_bruteforce)
@@ -3779,6 +3797,24 @@ SELECT bucket,
        CAST(max(CASE WHEN v = 0 THEN 31
                      ELSE 30 - length(bin(v)) + 1 END) AS BIGINT) AS max_rho
 FROM rv GROUP BY bucket
+"""
+
+    o["R1_bm25_postings"] = """
+WITH base AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents WHERE doc_id IS NOT NULL),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+expl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term
+         FROM base),
+stats AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                 CAST(min(dl) AS BIGINT) AS dl
+          FROM expl WHERE term IN ('data', 'table', 'stream')
+          GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM stats GROUP BY term)
+SELECT s.doc_id, s.term, s.tf, s.dl, d.df,
+       CAST(2 * nn.n - 2 * d.df + 1 AS DOUBLE) / (2 * d.df + 1) AS idf_ratio
+FROM stats s JOIN dfreq d ON s.term = d.term CROSS JOIN nn
 """
 
     # C4/C5/C6: the mix-recipe trio over the same portable sampling hash
