@@ -60,6 +60,13 @@ def asof_join(left: DataFrame, right: DataFrame,
     Plan shape: one Exchange on the key columns + one window sort — see
     module docstring. Equal timestamps match inclusively (the right row
     sorts before the left row at the same instant).
+
+    Skew ceiling (measured, BENCH/SKEW.md): AQE splits skewed JOIN
+    partitions but NOT window partitions, so a hub key's whole timeline
+    sorts serially in one task (90%-one-key = 2.5x uniform wall at 2M
+    rows). When one key dominates, pre-partition its timeline into
+    coarse chunks and seed each chunk with the previous chunk's last
+    right row — the same operator composed per chunk.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', "

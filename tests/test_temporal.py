@@ -234,3 +234,33 @@ def test_time_rollup_rejects_week_before_coarser(spark):
     # week as the LAST level is fine
     rows = time_rollup(df, "ts", "cents", ("day", "week")).collect()
     assert {r["granularity"] for r in rows} == {"day", "week"}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_randomized_vs_merge_asof(spark, seed, direction):
+    """Randomized differential test: unique-timestamp random tables must
+    match pandas.merge_asof exactly in both directions."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    keys = ["a", "b", "c", "d"]
+    lts = rng.choice(20000, size=120, replace=False)
+    rts = rng.choice(20000, size=80, replace=False)
+    lrows = [(i, keys[rng.randint(4)], float(lts[i])) for i in range(120)]
+    rrows = [(1000 + j, keys[rng.randint(4)], float(rts[j]), float(j))
+             for j in range(80)]
+    l = spark.createDataFrame(lrows, "lid long, key string, ts double")
+    r = spark.createDataFrame(
+        rrows, "rid long, key string, ts double, payload double")
+    got = {row["lid"]: row["rid"]
+           for row in asof_join(l, r, on="key",
+                                direction=direction).collect()}
+
+    lp = pd.DataFrame(lrows, columns=["lid", "key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "key", "ts", "payload"]) \
+        .sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="key", direction=direction,
+                      suffixes=("", "_right"))
+    want = {int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+            for row in m.itertuples()}
+    assert got == want
