@@ -529,6 +529,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           bucket_width=7200, keys="user_id")
     q["W5_range_join"] = w5_range
 
+    def w6_sliding_window(spark, sf_dir):
+        # event-time sliding aggregate: per event, the same user's count
+        # and cent-sum over the trailing hour — a RANGE frame on integer
+        # epochs (tie rows are frame peers in both engines)
+        e = _events(spark, sf_dir)
+        epoch = F.unix_timestamp("ts")
+        cents = F.round(F.col("value") * 100).cast("long")
+        base = e.select("event_id", "user_id", epoch.alias("epoch"),
+                        cents.alias("cents"))
+        w = (Window.partitionBy("user_id").orderBy("epoch")
+             .rangeBetween(-3600, 0))
+        return base.select(
+            "event_id", "user_id", "epoch",
+            F.count("*").over(w).cast("long").alias("n_1h"),
+            F.sum("cents").over(w).cast("long").alias("cents_1h"))
+    q["W6_sliding_window"] = w6_sliding_window
+
     def q10_time_rollup(spark, sf_dir):
         # hypertable-style continuous aggregate: minute/hour/day levels in
         # one hierarchical pass (raw rows shuffled once; coarser levels
@@ -2310,6 +2327,19 @@ s AS (SELECT event_id AS signup_id, user_id,
 SELECT c.click_id, c.user_id, c.click_epoch, s.signup_id, s.w_start, s.w_end
 FROM c JOIN s ON c.user_id = s.user_id
   AND s.w_start <= c.click_epoch AND c.click_epoch < s.w_end
+"""
+
+    o["W6_sliding_window"] = """
+WITH base AS (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+SELECT event_id, user_id, epoch,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
     o["Q10_time_rollup"] = """
