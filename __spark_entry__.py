@@ -1487,6 +1487,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return entity_communities(cooc, min_ratio=1.0, min_docs=2)
     q["KG_communities"] = kg_communities
 
+    def kg_neg_samples(spark, sf_dir):
+        # deterministic filtered negative sampling over the KB fixture
+        # triples — the KG-embedding training-data stage
+        from pysemanticcomplexity_spark.operators.kg_analytics import (
+            negative_samples)
+        kb = spark.createDataFrame(_KB, "subj string, pred string, obj string")
+        return negative_samples(kb, k=2)
+    q["KG_neg_samples"] = kg_neg_samples
+
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
         # can replicate it bucket-for-bucket (the xxhash64 production default
@@ -2492,6 +2501,42 @@ reach(src, node) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
 SELECT src AS uri, min(node) AS community
 FROM reach GROUP BY src
+"""
+
+    # negative sampling: scatter-finished poly hash of (s,p,o,i) picks the
+    # replacement from the ROW_NUMBER-indexed sorted entity vocabulary;
+    # filtered protocol drops corruptions colliding with any positive
+    o["KG_neg_samples"] = f"""
+WITH {KB_CTE},
+pos AS (SELECT DISTINCT subj, pred, obj FROM kb),
+vocab AS (SELECT uri, ROW_NUMBER() OVER (ORDER BY uri) - 1 AS idx
+          FROM (SELECT subj AS uri FROM pos UNION SELECT obj FROM pos)),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+cand AS (
+  SELECT subj, pred, obj, CAST(i AS INTEGER) AS neg_idx,
+         (((CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   str_split(subj || '|' || pred || '|' || obj || '|'
+                             || CAST(i AS VARCHAR), ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)
+             * 387420489 + 998244353) % 1000000007)
+           * ((CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   str_split(subj || '|' || pred || '|' || obj || '|'
+                             || CAST(i AS VARCHAR), ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)
+              * 1000003 + 17) % 1000000007)) % 1000000007 % nv.v AS idx
+  FROM pos CROSS JOIN nv, UNNEST(generate_series(1, 2)) AS t(i)),
+neg AS (SELECT c.subj, c.pred, c.obj, c.neg_idx, v.uri AS neg_obj
+        FROM cand c JOIN vocab v USING (idx))
+SELECT n.subj, n.pred, n.obj, n.neg_idx, n.neg_obj
+FROM neg n LEFT JOIN pos p
+  ON n.subj = p.subj AND n.pred = p.pred AND n.neg_obj = p.obj
+WHERE p.subj IS NULL
 """
 
     o["Q2_rollup"] = """

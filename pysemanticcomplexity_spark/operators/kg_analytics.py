@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 from .dedup import reliable_checkpointer
 
 __all__ = ["entity_cooccurrence", "pagerank_fixed_point",
-           "entity_communities", "undirected_edges", "PAGERANK_SCALE"]
+           "entity_communities", "undirected_edges", "negative_samples",
+           "PAGERANK_SCALE"]
 
 #: rank micro-unit: node ranks start at PAGERANK_SCALE and total mass is
 #: n_nodes * PAGERANK_SCALE. 10^9 keeps 17 * total_mass inside int64 for
@@ -244,3 +245,56 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
             "uri", "rank",
             (F.col("rank").cast("double") / F.lit(int(total)).cast("double"))
             .alias("rank_norm"))
+
+
+def negative_samples(triples: DataFrame, k: int = 2,
+                     subj_col: str = "subj", pred_col: str = "pred",
+                     obj_col: str = "obj",
+                     filter_positives: bool = True) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training data
+    (TransE/DistMult-style): for each positive triple, ``k`` corrupted
+    copies with the tail replaced by a hash-picked entity.
+
+    Output: ``(subj, pred, obj, neg_idx, neg_obj)`` with ``neg_idx`` in
+    [1, k]. The replacement entity is ``vocab[h mod V]`` where ``vocab``
+    is the sorted distinct entity set (subjects + objects), numbered by
+    a window over the VOCAB (entity-sized, not corpus-sized), and ``h``
+    is the scatter-finished portable poly hash of (subj, pred, obj,
+    neg_idx) — so the corruption is reproducible across runs, engines,
+    and cluster sizes, never a ``rand()``. With ``filter_positives`` the
+    corrupted triples that collide with ANY true positive are dropped
+    (the standard "filtered" negative-sampling protocol), so some
+    triples may yield fewer than ``k`` rows.
+
+    Scale shape: candidates explode row-locally (k per triple); the
+    entity lookup is an equi-join on the vocab index — broadcast, since
+    the entity vocabulary is corpus-independent in size; the positive
+    filter is one left_anti on (subj, pred, obj). No corpus self-join.
+    """
+    from .dedup import scattered_poly_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = triples.select(F.col(subj_col).alias("subj"),
+                         F.col(pred_col).alias("pred"),
+                         F.col(obj_col).alias("obj")).distinct()
+    from pyspark.sql import Window
+    vocab = (pos.select(F.col("subj").alias("uri"))
+             .unionByName(pos.select(F.col("obj").alias("uri")))
+             .distinct()
+             .withColumn("_idx", F.row_number().over(
+                 Window.orderBy("uri")) - 1))  # vocab-sized window: OK
+    n_vocab = vocab.count()
+    h = scattered_poly_expr(
+        F.concat_ws("|", "subj", "pred", "obj", "neg_idx"))
+    cand = (pos.withColumn("neg_idx",
+                           F.explode(F.sequence(F.lit(1), F.lit(k))))
+            .withColumn("_idx", (h % F.lit(n_vocab)).cast("int")))
+    out = (cand.join(F.broadcast(vocab), "_idx")
+           .select("subj", "pred", "obj", "neg_idx",
+                   F.col("uri").alias("neg_obj")))
+    if filter_positives:
+        out = out.join(
+            pos.select("subj", "pred", F.col("obj").alias("neg_obj")),
+            ["subj", "pred", "neg_obj"], "left_anti")
+    return out

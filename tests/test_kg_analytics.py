@@ -223,3 +223,62 @@ def test_cooccurrence_ignores_null_docs(spark):
     clean = entity_cooccurrence(_mentions_df(spark)).collect()
     dirty = entity_cooccurrence(with_null).collect()
     assert sorted(map(tuple, clean)) == sorted(map(tuple, dirty))
+
+
+# ---------------------------------------------------------------------------
+# negative sampling
+# ---------------------------------------------------------------------------
+
+TRIPLES = [
+    ("e1", "likes", "e2"), ("e1", "likes", "e3"), ("e2", "knows", "e3"),
+    ("e3", "likes", "e4"), ("e4", "knows", "e1"), ("e2", "likes", "e4"),
+]
+
+
+def _py_negatives(triples, k, filter_positives=True):
+    from pysemanticcomplexity_spark.operators.dedup import (
+        POLY_MOD, POLY_SCATTER_A, POLY_SCATTER_B)
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % POLY_MOD
+        return (((h * POLY_SCATTER_A + POLY_SCATTER_B) % POLY_MOD)
+                * ((h * 1_000_003 + 17) % POLY_MOD)) % POLY_MOD
+
+    pos = sorted(set(triples))
+    vocab = sorted({s for s, _, _ in pos} | {o for _, _, o in pos})
+    out = set()
+    for s, p, o in pos:
+        for i in range(1, k + 1):
+            neg = vocab[poly(f"{s}|{p}|{o}|{i}") % len(vocab)]
+            if filter_positives and (s, p, neg) in set(pos):
+                continue
+            out.add((s, p, o, i, neg))
+    return out
+
+
+@pytest.mark.parametrize("filt", [True, False])
+def test_negative_samples_match_python_replica(spark, filt):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        negative_samples)
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    got = {(r["subj"], r["pred"], r["obj"], r["neg_idx"], r["neg_obj"])
+           for r in negative_samples(df, k=3,
+                                     filter_positives=filt).collect()}
+    want = _py_negatives(TRIPLES, 3, filter_positives=filt)
+    assert got == want
+    if filt:
+        pos = set(TRIPLES)
+        assert not {(s, p, n) for s, p, _, _, n in got} & pos
+
+
+def test_negative_samples_deterministic_and_validated(spark):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        negative_samples)
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    a = negative_samples(df.repartition(1), k=2).collect()
+    b = negative_samples(df.repartition(5, "pred"), k=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="k must"):
+        negative_samples(df, k=0)
