@@ -1496,6 +1496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return negative_samples(kb, k=2)
     q["KG_neg_samples"] = kg_neg_samples
 
+    def kg_triangles(spark, sf_dir):
+        # per-entity triangle counts + local clustering over the
+        # co-occurrence graph (degree-ordered wedge join — O(m^1.5))
+        from pysemanticcomplexity_spark.operators.kg_analytics import (
+            entity_cooccurrence, triangle_stats)
+        cooc = entity_cooccurrence(_mentions_df(spark, sf_dir))
+        return triangle_stats(cooc)
+    q["KG_triangles"] = kg_triangles
+
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
         # can replicate it bucket-for-bucket (the xxhash64 production default
@@ -2501,6 +2510,30 @@ reach(src, node) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
 SELECT src AS uri, min(node) AS community
 FROM reach GROUP BY src
+"""
+
+    # triangles: the oracle counts per-node closed wedges brute-force
+    # (the engine's degree-ordered orientation is a scale optimization,
+    # not a semantics change — equality proves it)
+    o["KG_triangles"] = f"""
+WITH {MENTIONS_SQL},
+pm AS (SELECT DISTINCT doc_id, uri FROM mentions),
+prs AS (SELECT DISTINCT x.uri AS a, y.uri AS b
+        FROM pm x JOIN pm y ON x.doc_id = y.doc_id AND x.uri < y.uri),
+und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+deg AS (SELECT a AS uri, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY a),
+tr AS (SELECT e1.a AS uri, CAST(count(*) AS BIGINT) AS n
+       FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+       JOIN prs e3 ON e3.a = e1.b AND e3.b = e2.b
+       GROUP BY e1.a)
+SELECT d.uri, d.degree,
+       CAST(coalesce(tr.n, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(tr.n, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tr ON d.uri = tr.uri
 """
 
     # negative sampling: scatter-finished poly hash of (s,p,o,i) picks the

@@ -44,6 +44,7 @@ from .dedup import reliable_checkpointer
 
 __all__ = ["entity_cooccurrence", "pagerank_fixed_point",
            "entity_communities", "undirected_edges", "negative_samples",
+           "triangle_stats",
            "PAGERANK_SCALE"]
 
 #: rank micro-unit: node ranks start at PAGERANK_SCALE and total mass is
@@ -298,3 +299,69 @@ def negative_samples(triples: DataFrame, k: int = 2,
             pos.select("subj", "pred", F.col("obj").alias("neg_obj")),
             ["subj", "pred", "neg_obj"], "left_anti")
     return out
+
+
+def triangle_stats(cooc: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected edge set given as unordered pairs (src < dst — the
+    :func:`entity_cooccurrence` output shape).
+
+    Output: ``(uri, degree, n_triangles, clustering)`` with
+    ``clustering = 2*T / (d*(d-1))`` as ONE exact IEEE division of
+    int64s (0.0 when degree < 2) — bitwise engine-portable like
+    ``pmi_ratio``.
+
+    Scale shape — DEGREE-ORDERED orientation (Cohen's algorithm): each
+    edge is oriented from its lower-(degree, uri) endpoint to the
+    higher, which bounds the wedge join at O(m^1.5) REGARDLESS of hub
+    skew — a star graph produces zero wedges at its hub because every
+    edge points INTO it. Wedges (a->b, a->c) close into triangles via
+    one equi-join against the oriented edge set; per-node counts explode
+    each triangle to its three corners and aggregate. Three shuffles
+    total (degree agg, wedge join, corner agg); never an unoriented
+    neighborhood join, which a hub key would blow up quadratically.
+    """
+    e = (cooc.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+         .distinct())
+    deg = (e.select(F.col("a").alias("uri"))
+           .unionByName(e.select(F.col("b").alias("uri")))
+           .groupBy("uri").agg(F.count("*").cast("long").alias("degree")))
+    # orient each edge low -> high by (degree, uri)
+    da = deg.select(F.col("uri").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("uri").alias("b"), F.col("degree").alias("_db"))
+    ranked = (e.join(da, "a").join(db, "b")
+              .select(F.when((F.col("_da") < F.col("_db"))
+                             | ((F.col("_da") == F.col("_db"))
+                                & (F.col("a") < F.col("b"))),
+                             F.struct(F.col("a").alias("lo"),
+                                      F.col("b").alias("hi")))
+                      .otherwise(F.struct(F.col("b").alias("lo"),
+                                          F.col("a").alias("hi")))
+                      .alias("o"))
+              .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi")))
+    w1 = ranked.select(F.col("lo").alias("piv"), F.col("hi").alias("x"))
+    w2 = ranked.select(F.col("lo").alias("piv"), F.col("hi").alias("y"))
+    wedges = (w1.join(w2, "piv").filter(F.col("x") < F.col("y")))
+    # a wedge (piv->x, piv->y) closes iff {x, y} is an edge (check the
+    # UNORIENTED pair: x < y lexicographically by construction)
+    closing = e.select(F.least("a", "b").alias("x"),
+                       F.greatest("a", "b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    corners = (tris.select(F.col("piv").alias("uri"))
+               .unionByName(tris.select(F.col("x").alias("uri")))
+               .unionByName(tris.select(F.col("y").alias("uri")))
+               .groupBy("uri")
+               .agg(F.count("*").cast("long").alias("n_triangles")))
+    coef = F.when(F.col("degree") >= 2,
+                  (2 * F.coalesce(F.col("n_triangles"), F.lit(0)))
+                  .cast("double")
+                  / (F.col("degree") * (F.col("degree") - 1))) \
+        .otherwise(F.lit(0.0))
+    return (deg.join(corners, "uri", "left")
+            .select("uri", "degree",
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    coef.alias("clustering")))

@@ -282,3 +282,57 @@ def test_negative_samples_deterministic_and_validated(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     with pytest.raises(ValueError, match="k must"):
         negative_samples(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# triangles / clustering coefficient
+# ---------------------------------------------------------------------------
+
+def _py_triangles(edges):
+    import itertools
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {u: 0 for u in adj}
+    for u in adj:
+        for v, w in itertools.combinations(sorted(adj[u]), 2):
+            if w in adj[v]:
+                tri[u] += 1
+    out = {}
+    for u in adj:
+        d = len(adj[u])
+        out[u] = (d, tri[u],
+                  (2.0 * tri[u]) / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
+@pytest.mark.parametrize("edges", [
+    [("a", "b"), ("b", "c"), ("a", "c")],                     # one triangle
+    [("a", "b"), ("b", "c"), ("c", "d")],                     # path: none
+    [("h", f"x{i}") for i in range(12)],                      # star hub
+    [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d"),
+     ("a", "d"), ("d", "e"), ("e", "f")],                     # K4 + tail
+])
+def test_triangle_stats_match_bruteforce(spark, edges):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        triangle_stats)
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "src string, dst string")
+    got = {r["uri"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_stats(df).collect()}
+    want = _py_triangles(edges)
+    assert got == want
+
+
+def test_triangle_stats_over_cooccurrence(spark):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        triangle_stats)
+    cooc = entity_cooccurrence(_mentions_df(spark))
+    got = {r["uri"]: (r["degree"], r["n_triangles"])
+           for r in triangle_stats(cooc).collect()}
+    edges = [(a, b) for (a, b) in _py_cooc(MENTIONS)]
+    want = {u: (d, t) for u, (d, t, _) in _py_triangles(edges).items()}
+    assert got == want
+    # d1 carries a/b/c together -> at least one closed triangle exists
+    assert any(t > 0 for _, t in got.values())
