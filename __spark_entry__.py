@@ -1505,6 +1505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_stats(cooc)
     q["KG_triangles"] = kg_triangles
 
+    def kg_link_prediction(spark, sf_dir):
+        # common-neighbors candidates: entity pairs that never co-occur
+        # (at the min_docs strength) but share co-occurrence neighbors —
+        # the KG-completion signal. min_docs=330 sparsifies the fixture
+        # graph (unthresholded it is the complete K19: zero non-edges)
+        from pysemanticcomplexity_spark.operators.kg_analytics import (
+            entity_cooccurrence, link_prediction_common_neighbors)
+        cooc = entity_cooccurrence(_mentions_df(spark, sf_dir),
+                                   min_docs=330)
+        return link_prediction_common_neighbors(cooc, min_common=1)
+    q["KG_link_prediction"] = kg_link_prediction
+
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
         # can replicate it bucket-for-bucket (the xxhash64 production default
@@ -2534,6 +2546,23 @@ SELECT d.uri, d.degree,
                  / (d.degree * (d.degree - 1))
             ELSE 0.0 END AS clustering
 FROM deg d LEFT JOIN tr ON d.uri = tr.uri
+"""
+
+    o["KG_link_prediction"] = f"""
+WITH {MENTIONS_SQL},
+pm AS (SELECT DISTINCT doc_id, uri FROM mentions),
+prs AS (SELECT x.uri AS a, y.uri AS b, count(*) AS n_docs
+        FROM pm x JOIN pm y ON x.doc_id = y.doc_id AND x.uri < y.uri
+        GROUP BY x.uri, y.uri
+        HAVING count(*) >= 330),
+und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+cand AS (SELECT e1.b AS src, e2.b AS dst, CAST(count(*) AS BIGINT) AS n_common
+         FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         GROUP BY e1.b, e2.b
+         HAVING count(*) >= 1)
+SELECT c.src, c.dst, c.n_common
+FROM cand c LEFT JOIN prs p ON c.src = p.a AND c.dst = p.b
+WHERE p.a IS NULL
 """
 
     # negative sampling: scatter-finished poly hash of (s,p,o,i) picks the

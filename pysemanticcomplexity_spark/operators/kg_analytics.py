@@ -44,7 +44,7 @@ from .dedup import reliable_checkpointer
 
 __all__ = ["entity_cooccurrence", "pagerank_fixed_point",
            "entity_communities", "undirected_edges", "negative_samples",
-           "triangle_stats",
+           "triangle_stats", "link_prediction_common_neighbors",
            "PAGERANK_SCALE"]
 
 #: rank micro-unit: node ranks start at PAGERANK_SCALE and total mass is
@@ -365,3 +365,47 @@ def triangle_stats(cooc: DataFrame, src_col: str = "src",
                     F.coalesce("n_triangles", F.lit(0)).cast("long")
                     .alias("n_triangles"),
                     coef.alias("clustering")))
+
+
+def link_prediction_common_neighbors(cooc: DataFrame, min_common: int = 1,
+                                     max_degree: int = None,
+                                     src_col: str = "src",
+                                     dst_col: str = "dst") -> DataFrame:
+    """Common-neighbors link prediction over an undirected pair set
+    (src < dst): for every NON-edge (x, y) sharing >= ``min_common``
+    neighbors, emit ``(src, dst, n_common)`` — the classic
+    KG-completion candidate generator (x and y co-occur with the same
+    entities but never together: a missing-edge signal).
+
+    Scale shape: wedges enumerate through each pivot node, so a hub of
+    degree d contributes d*(d-1)/2 candidate pairs — unlike triangle
+    counting there is NO orientation trick (every wedge through the
+    pivot is a candidate), so ``max_degree`` drops super-hub pivots
+    before the join (the standard recall-for-cost trade: a hub shared
+    by everything carries no signal anyway — it is the graph's
+    stopword). The wedge join and the existing-edge anti-join are both
+    equi-joins; nothing is all-pairs.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    e = (cooc.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+         .distinct())
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+        deg = und.groupBy("a").agg(F.count("*").alias("_d"))
+        und = (und.join(deg.filter(F.col("_d") <= max_degree), "a")
+               .drop("_d"))
+    w1 = und.select(F.col("a").alias("piv"), F.col("b").alias("x"))
+    w2 = und.select(F.col("a").alias("piv"), F.col("b").alias("y"))
+    cand = (w1.join(w2, "piv").filter(F.col("x") < F.col("y"))
+            .groupBy(F.col("x").alias("src"), F.col("y").alias("dst"))
+            .agg(F.count("*").cast("long").alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
+    return cand.join(e.select(F.col("a").alias("src"),
+                              F.col("b").alias("dst")),
+                     ["src", "dst"], "left_anti")

@@ -336,3 +336,36 @@ def test_triangle_stats_over_cooccurrence(spark):
     assert got == want
     # d1 carries a/b/c together -> at least one closed triangle exists
     assert any(t > 0 for _, t in got.values())
+
+
+def test_link_prediction_common_neighbors(spark):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        link_prediction_common_neighbors)
+    # square a-b-c-d-a: the two diagonals are non-edges with 2 common
+    # neighbors each; K3 e-f-g has no non-edge candidates
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+             ("e", "f"), ("f", "g"), ("e", "g")]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "src string, dst string")
+    got = {(r["src"], r["dst"]): r["n_common"]
+           for r in link_prediction_common_neighbors(df).collect()}
+    assert got == {("a", "c"): 2, ("b", "d"): 2}
+    # max_degree below the square's degree (2) drops all pivots
+    assert link_prediction_common_neighbors(df, max_degree=2).count() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_common"):
+        link_prediction_common_neighbors(df, min_common=0)
+    with _pytest.raises(ValueError, match="max_degree"):
+        link_prediction_common_neighbors(df, max_degree=1)
+
+
+def test_link_prediction_hub_cap_drops_hub_pivots(spark):
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        link_prediction_common_neighbors)
+    # star: hub h connects x0..x9; every (xi, xj) shares only the hub
+    edges = [(min("h", f"x{i}"), max("h", f"x{i}")) for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    full = link_prediction_common_neighbors(df)
+    assert full.count() == 45                    # all leaf pairs via hub
+    capped = link_prediction_common_neighbors(df, max_degree=5)
+    assert capped.count() == 0                   # hub pivot dropped
