@@ -14,9 +14,13 @@ precision for 64-dim vectors).
 Degenerate vectors never rank: a NaN component makes every cosine against
 the vector NaN, and Spark orders NaN ABOVE every double — unfiltered, one
 corrupt embedding row (a real upstream-model failure mode) would become
-the rank-1 neighbor of EVERY query. All three operators drop
-NULL/NaN sims before ranking (zero-norm vectors divide to NULL non-ANSI),
-matching the blas kernel, whose lexsort+isfinite path already dropped them.
+the rank-1 neighbor of EVERY query. Degeneracy is a per-VECTOR property
+(NaN/Inf component -> NaN/Inf norm; zero norm -> NULL sim non-ANSI), so
+``_prep_vectors`` drops such vectors ONCE — O(corpus), not the O(pairs)
+per-pair sim filter of round 5, which additionally made Catalyst evaluate
+the dot fold twice per pair (Filter below the Project referencing the
+same derived column). Matches the blas kernel, whose lexsort+isfinite
+path already dropped them.
 """
 from __future__ import annotations
 
@@ -55,27 +59,29 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
            .filter(F.col("neighbor_id") != F.col("query_id"))
            .select("query_id", "neighbor_id",
                    (_dot(F.col("cvec"), F.col("qvec"))
-                    / (F.col("cnorm") * F.col("qnorm"))).alias("sim"))
-           .filter(_finite_sim()))
+                    / (F.col("cnorm") * F.col("qnorm"))).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
 
 
-def _finite_sim() -> F.Column:
-    """Drop NULL (zero-norm divide) and NaN (NaN-component vector) sims —
-    NaN sorts above every double in Spark, so one corrupt vector would
-    otherwise outrank every true neighbor for every query."""
-    return F.col("sim").isNotNull() & ~F.isnan("sim")
-
-
 def _prep_vectors(df: DataFrame, id_col: str, vec_col: str,
                   out_id: str, out_vec: str, out_norm: str) -> DataFrame:
-    """(out_id, out_vec double[], out_norm): one norm fold per VECTOR."""
+    """(out_id, out_vec double[], out_norm): one norm fold per VECTOR.
+
+    Degenerate vectors are dropped HERE, once per vector (module
+    docstring): a NaN component makes the norm NaN, an Inf component
+    makes it Inf, and a zero vector has norm 0 — each would make every
+    sim against the vector NaN/NULL, which round 5 filtered per PAIR
+    (O(n*m) + a duplicated dot-fold evaluation under the Filter).
+    Note NaN compares greater-than in Spark, so ``> 0`` alone would NOT
+    exclude it — the isnan test is load-bearing."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (df.select(F.col(id_col).alias(out_id), v.alias(out_vec))
-            .withColumn(out_norm, _norm(F.col(out_vec))))
+            .withColumn(out_norm, _norm(F.col(out_vec)))
+            .filter(~F.isnan(F.col(out_norm)) & (F.col(out_norm) > 0)
+                    & (F.col(out_norm) != F.lit(float("inf")))))
 
 
 def srp_planes(dim: int, n_tables: int, n_bits: int,
@@ -156,7 +162,6 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
            .select("query_id", "neighbor_id",
                    (_dot(F.col("cvec"), F.col("qvec"))
                     / (F.col("cnorm") * F.col("qnorm"))).alias("sim"))
-           .filter(_finite_sim())
            .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     cols = ["query_id", "neighbor_id", "rank"] + (["sim"] if return_sim else [])
@@ -315,8 +320,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         sim = cand.select(
             "query_id", "neighbor_id",
             (_dot(F.col("cvec"), F.col("qvec"))
-             / (F.col("cnorm") * F.col("qnorm"))).alias("sim")) \
-            .filter(_finite_sim())
+             / (F.col("cnorm") * F.col("qnorm"))).alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
