@@ -860,20 +860,48 @@ BLOOM_DEFAULT_BITS = 1 << 23     # 8 Mbit; build/probe cost is O(1) per key
 BLOOM_DEFAULT_HASHES = 5
 
 
-def _bloom_positions(col, n_bits: int, n_hashes: int, hash_fn: str):
-    """array<long> of the key's n_hashes bit positions in [0, n_bits).
+def _with_bloom_positions(docs: DataFrame, text_col: str, n_bits: int,
+                          n_hashes: int, hash_fn: str,
+                          pos_col: str = "__bloom_pos") -> DataFrame:
+    """docs + ``pos_col`` = array<long> of the normalized key's n_hashes
+    bit positions in [0, n_bits).
 
     ``hash_fn='xxhash'`` (production): n_hashes independently-seeded
     xxhash64 (salt FIRST — see exact_key_cols). ``'poly'``: the affine
-    poly family shared with the SQL oracle."""
+    poly family shared with the SQL oracle.
+
+    Shape note (the round-6 optimization): every expensive shared
+    subexpression — the normalize regexp, the interpreted char fold, the
+    quadratic scatter — is staged as its own projected column, because
+    inlined into the positions array each was re-evaluated once per
+    POSITION (and scattered_poly_expr references the fold twice), i.e.
+    2*n_hashes interpreted char folds per row where one suffices.
+    Interpreted higher-order folds get no codegen subexpression
+    elimination, and CollapseProject keeps multiply-referenced non-cheap
+    aliases un-inlined, so the staged projections pin single evaluation.
+    Measured at sf0.1 (D10): 2.1 s -> see OPTIMIZATION_r06.md."""
+    key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    staged = docs.withColumn("__bloom_key", key)
+    k = F.col("__bloom_key")
     if hash_fn == "xxhash":
-        return F.array(*[F.pmod(F.xxhash64(F.lit(i), col), F.lit(n_bits))
-                         for i in range(n_hashes)])
-    if hash_fn == "poly":
-        h0 = scattered_poly_expr(col)   # fold alone bands on sequential keys
-        return F.array(*[((h0 * F.lit(a) + F.lit(b)) % POLY_MOD) % n_bits
-                         for a, b in minhash_seeds(n_hashes)])
-    raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
+        pos = F.array(*[F.pmod(F.xxhash64(F.lit(i), k), F.lit(n_bits))
+                        for i in range(n_hashes)])
+    elif hash_fn == "poly":
+        # fold alone bands on sequential keys — see POLY_SCATTER note
+        staged = staged.withColumn("__bloom_h0", poly_hash_expr(k))
+        h0 = F.col("__bloom_h0")
+        staged = staged.withColumn(
+            "__bloom_hs",
+            (((h0 * POLY_SCATTER_A + POLY_SCATTER_B) % POLY_MOD)
+             * ((h0 * 1_000_003 + 17) % POLY_MOD)) % POLY_MOD)
+        hs = F.col("__bloom_hs")
+        pos = F.array(*[((hs * F.lit(a) + F.lit(b)) % POLY_MOD) % n_bits
+                        for a, b in minhash_seeds(n_hashes)])
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash' or 'poly', "
+                         f"got {hash_fn!r}")
+    return (staged.withColumn(pos_col, pos)
+            .drop("__bloom_key", "__bloom_h0", "__bloom_hs"))
 
 
 def _check_bloom_params(n_bits: int, n_hashes: int) -> None:
@@ -897,9 +925,9 @@ def bloom_build(docs: DataFrame, text_col: str = "text",
     no matter how many keys went in. NULL text hashes as '' (one shared
     slot), matching :func:`bloom_flag`."""
     _check_bloom_params(n_bits, n_hashes)
-    key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
-    pos = (docs.select(F.explode(
-        _bloom_positions(key, n_bits, n_hashes, hash_fn)).alias("p")))
+    pos = (_with_bloom_positions(docs.select(text_col), text_col,
+                                 n_bits, n_hashes, hash_fn)
+           .select(F.explode("__bloom_pos").alias("p")))
     return _words_to_bitmap(_bloom_word_table(pos).collect(), n_bits)
 
 
@@ -951,10 +979,9 @@ def bloom_flag(docs: DataFrame, bitmap, text_col: str = "text",
         bits = (bm[arr >> 6] >> (arr & 63).astype(np.uint64)) & np.uint64(1)
         return pd.Series(bits.all(axis=1))
 
-    key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
-    return docs.withColumn(
-        flag_col,
-        _probe(_bloom_positions(key, n_bits, n_hashes, hash_fn)))
+    return (_with_bloom_positions(docs, text_col, n_bits, n_hashes, hash_fn)
+            .withColumn(flag_col, _probe(F.col("__bloom_pos")))
+            .drop("__bloom_pos"))
 
 
 def bloom_novel(new_docs: DataFrame, prior_docs: DataFrame,
@@ -1002,27 +1029,44 @@ def hll_registers(docs: DataFrame, key_col: str = "text",
         raise ValueError(f"p must be in [4, 18], got {p}")
     m = 1 << p
     key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    # every shared non-cheap subexpression is STAGED as its own projected
+    # column (same round-6 note as _with_bloom_positions): inlined, the
+    # rho branch referenced `v` twice and the poly path's scatter fold
+    # up to 8x per row — interpreted folds get no codegen subexpression
+    # elimination, and CollapseProject keeps multiply-referenced
+    # non-cheap aliases un-inlined, pinning single evaluation.
     if hash_fn == "xxhash":
-        h1, h2 = F.xxhash64(key), F.xxhash64(F.lit(1), key)
+        staged = docs.select(key.alias("_k")) \
+            .select(F.xxhash64("_k").alias("_h1"),
+                    F.xxhash64(F.lit(1), "_k").alias("_h2"))
     elif hash_fn == "poly":
         # ONE affine value is NOT wide enough for the rho source:
         # POLY_MOD (1e9+7) < 2^30, so `h mod 2^30` would be the identity
         # and the register distribution would skew ~7% toward rho=1
         # (about +4% systematic cardinality overestimate). Two affine
         # values combine to a ~2^60-range integer; mod 2^30 bias ~1e-9.
-        h0 = scattered_poly_expr(key)  # fold alone bands on sequential keys
+        # Fold alone bands on sequential keys — see POLY_SCATTER note.
         (a1, b1), (a2, b2), (a3, b3) = minhash_seeds(3)
-        h1 = (h0 * a1 + b1) % POLY_MOD
-        h2 = (((h0 * a2 + b2) % POLY_MOD) * POLY_MOD
-              + (h0 * a3 + b3) % POLY_MOD)
+        h0 = F.col("_h0")
+        staged = (docs.select(key.alias("_k"))
+                  .select(poly_hash_expr(F.col("_k")).alias("_f"))
+                  .select(((((F.col("_f") * POLY_SCATTER_A
+                              + POLY_SCATTER_B) % POLY_MOD)
+                            * ((F.col("_f") * 1_000_003 + 17) % POLY_MOD))
+                           % POLY_MOD).alias("_h0"))
+                  .select(((h0 * a1 + b1) % POLY_MOD).alias("_h1"),
+                          ((((h0 * a2 + b2) % POLY_MOD) * POLY_MOD
+                            + (h0 * a3 + b3) % POLY_MOD)).alias("_h2")))
     else:
         raise ValueError(f"hash_fn must be 'xxhash' or 'poly', got {hash_fn!r}")
-    v = F.pmod(h2, F.lit(1 << HLL_RHO_WIDTH))
+    staged = staged.select(
+        F.pmod(F.col("_h1"), F.lit(m)).cast("long").alias("bucket"),
+        F.pmod(F.col("_h2"), F.lit(1 << HLL_RHO_WIDTH)).alias("_v"))
+    v = F.col("_v")
     rho = (F.when(v == 0, F.lit(HLL_RHO_WIDTH + 1))
            .otherwise(F.lit(HLL_RHO_WIDTH) - F.length(F.bin(v)) + 1)
            .cast("long"))
-    return (docs.select(F.pmod(h1, F.lit(m)).cast("long").alias("bucket"),
-                        rho.alias("rho"))
+    return (staged.select("bucket", rho.alias("rho"))
             .groupBy("bucket").agg(F.max("rho").alias("max_rho")))
 
 

@@ -296,10 +296,9 @@ def streaming_bloom_novel(words_dir: str, novel_dir: str, *,
     """
     from pyspark.errors import AnalysisException
 
-    from ..operators.dedup import (_bloom_positions, _bloom_word_table,
-                                   _check_bloom_params, _words_to_bitmap,
-                                   bloom_flag, exact_key_cols,
-                                   normalize_text)
+    from ..operators.dedup import (_bloom_word_table, _check_bloom_params,
+                                   _with_bloom_positions, _words_to_bitmap,
+                                   bloom_flag, exact_key_cols)
     from ..operators import dedup as _d
 
     n_bits = _d.BLOOM_DEFAULT_BITS if n_bits is None else n_bits
@@ -350,10 +349,10 @@ def streaming_bloom_novel(words_dir: str, novel_dir: str, *,
                        "text_key_hi", "text_key_lo")
                  .persist())
         try:
-            key = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
             batch_words = _bloom_word_table(
-                novel.select(F.explode(_bloom_positions(
-                    key, n_bits, n_hashes, hash_fn)).alias("p")))
+                _with_bloom_positions(novel.select(text_col), text_col,
+                                      n_bits, n_hashes, hash_fn)
+                .select(F.explode("__bloom_pos").alias("p")))
             prior_df = spark.createDataFrame(
                 [(r["w"], r["word"]) for r in prior_rows],
                 "w long, word long")
