@@ -319,20 +319,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["G3_triples_sql_model"] = g3_triples
 
     def m_density(spark, sf_dir):
+        # ONE evaluation of the (expensive) triple tree: each triple
+        # explodes to its two endpoints, so n_edges = rows/2 exactly and
+        # n_nodes = countDistinct(node) — the round-5 shape (nodes-union
+        # ⋈ edge-counts) re-evaluated the whole mention-scan+join tree
+        # once per consumer (3x). Same output rows/hashes: identical
+        # n_nodes/n_edges integers, identical density expression.
         t = g3_triples(spark, sf_dir)
-        nodes = (t.select("url", F.col("subj").alias("node"))
-                 .unionByName(t.select("url", F.col("obj").alias("node")))
-                 .distinct().groupBy("url")
-                 .agg(F.count("*").cast("long").alias("n_nodes")))
-        edges = t.groupBy("url").agg(F.count("*").cast("long").alias("n_edges"))
+        ex = t.select("url", F.explode(F.array("subj", "obj")).alias("node"))
+        agg = ex.groupBy("url").agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.count_distinct(F.col("node")).cast("long").alias("n_nodes"))
         n = F.col("n_nodes").cast("double")
         e = F.col("n_edges").cast("double")
         density = F.when(F.col("n_nodes") > 1,
                          F.lit(2.0) * e / (n * (n - F.lit(1.0)))) \
             .otherwise(F.lit(1.0))
-        return (nodes.join(edges, "url")
-                .select("url", "n_nodes", "n_edges",
-                        density.cast("double").alias("density")))
+        return agg.select("url", "n_nodes", "n_edges",
+                          density.cast("double").alias("density"))
     q["M_graph_density"] = m_density
 
     def kg_types_per_doc(spark, sf_dir):
