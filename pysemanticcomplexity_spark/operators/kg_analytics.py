@@ -103,12 +103,28 @@ def entity_cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
     if persist_mentions:
         pm = pm.persist()
 
-    n_corpus = pm.select("_doc").distinct().count()   # driver scalar, 1 agg
+    # Round-6 shape changes (same output, fewer passes/shuffles):
+    # * the corpus size is a LAZY one-row aggregate broadcast into the
+    #   plan, not a separate .count() action — the old action re-ran the
+    #   whole upstream mention plan once more than necessary and split
+    #   the operator into two jobs;
+    # * pairs come from ONE groupBy(_doc) + a row-local combination
+    #   explode over the per-doc sorted entity array, replacing the
+    #   doc-keyed self-join (two join inputs + a sort-merge join). The
+    #   per-doc array is bounded by mentions-per-document (itself capped
+    #   by max_per_doc for spam pages), never corpus-sized.
+    n_corpus_df = pm.select(
+        F.count_distinct(F.col("_doc")).alias("_n_corpus"))
 
-    a = pm.select(F.col("_doc").alias("_da"), F.col("_uri").alias("src"))
-    b = pm.select(F.col("_doc").alias("_db"), F.col("_uri").alias("dst"))
-    cooc = (a.join(b, (F.col("_da") == F.col("_db"))
-                   & (F.col("src") < F.col("dst")))
+    us = F.col("_us")
+    pair_arr = F.flatten(F.transform(
+        us, lambda x, i: F.transform(
+            F.slice(us, i + F.lit(2), F.size(us)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    cooc = (pm.groupBy("_doc")
+            .agg(F.array_sort(F.collect_list("_uri")).alias("_us"))
+            .select(F.explode(pair_arr).alias("_p"))
+            .select(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"))
             .groupBy("src", "dst")
             .agg(F.count("*").cast("long").alias("n_docs")))
     if min_docs > 1:
@@ -122,8 +138,9 @@ def entity_cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
            .join(df.select(F.col("uri").alias("src"),
                            F.col("df").alias("df_src")), "src")
            .join(df.select(F.col("uri").alias("dst"),
-                           F.col("df").alias("df_dst")), "dst"))
-    ratio = ((F.col("n_docs") * F.lit(int(n_corpus))).cast("double")
+                           F.col("df").alias("df_dst")), "dst")
+           .crossJoin(F.broadcast(n_corpus_df)))
+    ratio = ((F.col("n_docs") * F.col("_n_corpus")).cast("double")
              / (F.col("df_src") * F.col("df_dst")))
     return out.select("src", "dst", "n_docs", "df_src", "df_dst",
                       ratio.alias("pmi_ratio"),
@@ -216,29 +233,40 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
             return nodes.select(
                 "uri", F.lit(0).cast("long").alias("rank"),
                 F.lit(0.0).alias("rank_norm"))
-        outdeg = edges.groupBy(F.col("src").alias("uri")) \
-                      .agg(F.count("*").cast("long").alias("outdeg"))
+        outdeg = ckpt(edges.groupBy(F.col("src").alias("uri"))
+                      .agg(F.count("*").cast("long").alias("outdeg")))
         base = (damping_den - damping_num) * scale // damping_den
         ranks = nodes.select("uri", F.lit(int(scale)).cast("long")
                              .alias("rank"))
+        # Round-6 iteration shape (bitwise-identical ranks, fewer passes):
+        # ranks⋈outdeg is computed ONCE per round and checkpointed; the
+        # dangling mass becomes a LAZY one-row aggregate over that
+        # checkpointed table, broadcast into the update expression with
+        # the same truncating integer division — so each round is ONE
+        # job (the checkpoint) instead of checkpoint + a driver collect,
+        # and outdeg is aggregated once up front instead of twice per
+        # round. All arithmetic stays int64 (17 * total mass bounds as
+        # before).
         for _ in range(iters):
-            ranks = ckpt(ranks)
-            dangling = (ranks.join(outdeg, "uri", "left_anti")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0)))
-                        .collect()[0][0])                 # scalar only
-            share = damping_num * int(dangling) // (damping_den * n)
+            ro = ckpt(ranks.join(outdeg, "uri", "left"))
+            share_df = (ro.filter(F.col("outdeg").isNull())
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                             .alias("_dang")))
             contribs = (edges
-                        .join(ranks.withColumnRenamed("uri", "src"), "src")
-                        .join(outdeg.withColumnRenamed("uri", "src"), "src")
+                        .join(ro.filter(F.col("outdeg").isNotNull())
+                              .withColumnRenamed("uri", "src"), "src")
                         .select("dst",
                                 F.expr(f"({damping_num} * rank) DIV "
                                        f"({damping_den} * outdeg)")
                                 .alias("_c"))
                         .groupBy(F.col("dst").alias("uri"))
                         .agg(F.sum("_c").alias("_s")))
+            share = F.expr(f"({damping_num} * _dang) DIV "
+                           f"({damping_den} * {int(n)})")
             ranks = (nodes.join(contribs, "uri", "left")
+                     .crossJoin(F.broadcast(share_df))
                      .select("uri",
-                             (F.lit(int(base + share))
+                             (F.lit(int(base)) + share
                               + F.coalesce(F.col("_s"), F.lit(0)))
                              .cast("long").alias("rank")))
         total = n * scale
