@@ -67,11 +67,11 @@ def vectorize(nodes: DataFrame, triples: DataFrame,
         + [T.StructField(c, T.DoubleType(), True) for c in cols[1:]])
     packed = pack_graph(nodes, triples)
 
-    def compute(key, graph_pdf: pd.DataFrame, words_pdf: pd.DataFrame) -> pd.DataFrame:
-        url = key[0]
-        nb_words = int(words_pdf["nb_words"].iloc[0]) if len(words_pdf) else None
-        npdf = graph_pdf[graph_pdf["kind"] == "n"]
-        epdf = graph_pdf[graph_pdf["kind"] == "e"]
+    def compute_group(url, grp: pd.DataFrame) -> list:
+        wpdf = grp[grp["kind"] == "w"]
+        nb_words = int(wpdf["count"].iloc[0]) if len(wpdf) else None
+        npdf = grp[grp["kind"] == "n"]
+        epdf = grp[grp["kind"] == "e"]
         node_ids = list(npdf["a"])
         known = set(node_ids)
         # edge endpoints not in the node table (defensive; shouldn't happen)
@@ -97,15 +97,57 @@ def vectorize(nodes: DataFrame, triples: DataFrame,
             nb_words=nb_words,
             namespaces=ns_dict,
         )
-        return pd.DataFrame([[url] + feats], columns=cols)
+        return [url] + feats
 
-    # rename the right-side key: both inputs share lineage (same annotator
-    # output), and identical attribute ids trip the ambiguous-self-join check
-    words = (doc_words.select(F.col("url").alias("url_w"),
-                              F.col("nb_words").alias("nb_words")))
-    return (packed.groupBy("url")
-            .cogroup(words.groupBy("url_w"))
-            .applyInPandas(compute, schema=schema))
+    def run(batches):
+        # many documents per Arrow batch: rows arrive url-sorted within
+        # the partition, so complete url groups are contiguous; the last
+        # url of a batch may continue in the next one and is carried over
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            urls = pdf["url"].to_numpy()
+            # first row of the batch-final url group (equality scan, no
+            # reliance on comparator parity between Spark and Python)
+            first_of_last = int((urls != urls[-1]).nonzero()[0][-1]) + 1 \
+                if (urls != urls[-1]).any() else 0
+            carry = pdf.iloc[first_of_last:]
+            work = pdf.iloc[:first_of_last]
+            if len(work):
+                yield pd.DataFrame(
+                    [compute_group(u, g) for u, g in
+                     work.groupby("url", sort=False)], columns=cols)
+        if carry is not None and len(carry):
+            yield pd.DataFrame(
+                [compute_group(u, g) for u, g in
+                 carry.groupby("url", sort=False)], columns=cols)
+
+    # The words rows ride the SAME shuffled stream as the packed graph
+    # (kind 'w', nb_words in the count column): one hash repartition +
+    # in-partition sort by url, then ONE mapInPandas that processes every
+    # url group in an Arrow batch per call. The previous
+    # cogroup().applyInPandas shape invoked Python once per URL — ~2 ms
+    # of per-group Arrow/pandas overhead per document dominated the stage
+    # (kg_features_staged 12.2 s -> see OPTIMIZATION_r06.md); group
+    # contents and the numeric kernel are unchanged.
+    words = doc_words.select(
+        "url", F.lit("w").alias("kind"),
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("boolean").alias("is_resource"),
+        F.col("nb_words").cast("long").alias("count"),
+        F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("long").alias("nb_types"),
+        F.lit(None).cast("long").alias("nb_links_in"),
+        F.lit(None).cast("long").alias("nb_links_out"))
+    stream = (packed.unionByName(words)
+              .repartition("url")
+              .sortWithinPartitions("url"))
+    return stream.mapInPandas(run, schema=schema)
 
 
 def features_df_only(nodes: DataFrame, triples: DataFrame,
