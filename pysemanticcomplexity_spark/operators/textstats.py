@@ -369,30 +369,79 @@ def _poly_expr(col) -> F.Column:
                        % FINGERPRINT_MOD)
 
 
+def _bucket_expr(text_col: str) -> F.Column:
+    """The model's hashed unigram+bigram feature-bucket array as one
+    Column — shared by :func:`model_margin_expr` and
+    :func:`model_quality_score`.
+
+    Round-6 shape: ONE char fold per token, producing the pair
+    ``(h, w) = (poly(tok), 31^len(tok) mod p)``; each bigram hash then
+    composes in O(1) from its two tokens' pairs via the fold identity
+
+        poly(a || ' ' || b) = ((poly(a)*31 + 32) % p * 31^len(b)
+                               + poly(b)) % p
+
+    (32 = ascii(' ')). The previous formulation re-folded every
+    character ~3x — once for its unigram and once per adjacent bigram,
+    through an allocated concat string. All intermediates stay inside
+    int64 ((x%p)*(w<p) < 1e18); bucket values are bit-identical
+    (pytest-asserted against a per-token reference and pinned by the
+    QF4/E2E oracles).
+
+    The (h, w) array is BOUND ONCE per row through a single-element
+    ``transform`` lambda: referenced inline, interpreted evaluation
+    would recompute the whole per-token fold array for every bigram
+    index (O(tokens^2) per document — observed as a task pinned for
+    minutes); as a lambda variable each ``element_at`` is an O(1)
+    array access."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(TOKEN_PATTERN), F.lit(0))
+    hp = F.transform(toks, lambda t: F.aggregate(
+        F.split(t, ""),
+        F.struct(F.lit(0).cast("long").alias("h"),
+                 F.lit(1).cast("long").alias("w")),
+        lambda acc, ch: F.struct(
+            ((acc["h"] * 31 + F.ascii(ch)) % FINGERPRINT_MOD).alias("h"),
+            ((acc["w"] * 31) % FINGERPRINT_MOD).alias("w"))))
+
+    def from_hp(arr):
+        n = F.size(arr)
+        uni = F.transform(arr, lambda s: s["h"] % MODEL_N_BUCKETS)
+        bi = (F.when(n >= 2, F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: ((((F.element_at(arr, i)["h"] * 31 + 32)
+                             % FINGERPRINT_MOD)
+                            * F.element_at(arr, i + 1)["w"]
+                            + F.element_at(arr, i + 1)["h"])
+                           % FINGERPRINT_MOD) % MODEL_N_BUCKETS))
+              .otherwise(F.array().cast("array<bigint>")))
+        return F.concat(uni, bi)
+
+    return F.get(F.transform(F.array(hp), from_hp), 0)
+
+
 def model_margin_expr(text_col: str = "text") -> F.Column:
     """The hashed-linear model's raw margin as ONE pure-JVM Column (the
     'expr' kernel inlined; NULL for token-less documents) — the form a
     fused single-scan pipeline filter needs. Identical value to
-    model_quality_score(...)['margin'] before rounding."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
-                                F.lit(TOKEN_PATTERN), F.lit(0))
-    n = F.size(toks)
-    uni = F.transform(toks, lambda t: _poly_expr(t) % MODEL_N_BUCKETS)
-    bi = (F.when(n >= 2,
-                 F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                            lambda a, b: _poly_expr(
-                                F.concat(a, F.lit(" "), b))
-                            % MODEL_N_BUCKETS))
-          .otherwise(F.array().cast("array<bigint>")))
-    buckets = F.concat(uni, bi)
-    logit = F.aggregate(
-        buckets, F.lit(0).cast("long"),
-        lambda acc, b: acc + (F.lit(MODEL_W_A) * b + F.lit(MODEL_W_B))
-        % F.lit(FINGERPRINT_MOD))
-    n_feats = F.size(buckets)
-    return F.when(n_feats > 0,
-                  logit.cast("double") / n_feats
-                  / F.lit(float(FINGERPRINT_MOD)) * 2.0 - 1.0)
+    model_quality_score(...)['margin'] before rounding.
+
+    The bucket array is bound once through the single-element
+    ``transform`` idiom (see :func:`_bucket_expr`): referenced twice
+    (logit fold + size), an inlined array would be rebuilt twice per
+    row under interpreted evaluation."""
+
+    def margin_of(b):
+        logit = F.aggregate(
+            b, F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.lit(MODEL_W_A) * x + F.lit(MODEL_W_B))
+            % F.lit(FINGERPRINT_MOD))
+        n_feats = F.size(b)
+        return F.when(n_feats > 0,
+                      logit.cast("double") / n_feats
+                      / F.lit(float(FINGERPRINT_MOD)) * 2.0 - 1.0)
+
+    return F.get(F.transform(F.array(_bucket_expr(text_col)), margin_of), 0)
 
 
 def model_quality_score(docs: DataFrame, id_col: str = "doc_id",
@@ -422,18 +471,8 @@ def model_quality_score(docs: DataFrame, id_col: str = "doc_id",
     """
     if kernel not in ("expr", "gather"):
         raise ValueError(f"kernel must be 'expr' or 'gather', got {kernel!r}")
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
-                                F.lit(TOKEN_PATTERN), F.lit(0))
-    n = F.size(toks)
-    uni = F.transform(toks, lambda t: _poly_expr(t) % MODEL_N_BUCKETS)
-    bi = (F.when(n >= 2,
-                 F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                            lambda a, b: _poly_expr(
-                                F.concat(a, F.lit(" "), b))
-                            % MODEL_N_BUCKETS))
-          .otherwise(F.array().cast("array<bigint>")))
     feats = docs.select(F.col(id_col).alias("id"),
-                        F.concat(uni, bi).alias("_buckets"))
+                        _bucket_expr(text_col).alias("_buckets"))
 
     if kernel == "expr":
         # the weights are affine in the bucket id, so the dense-table
