@@ -572,16 +572,20 @@ def corpus_prep(docs: DataFrame, benchmark: DataFrame,
         # keeps (1 - selectivity) of the corpus out of the Arrow transfer
         # and the python shingling entirely. Row-local conjunction order is
         # free — the retained set is identical (E2E oracle pins it).
+        # n_words is computed BELOW the Python node and rides through the
+        # passthrough schema: computing it after the mapInPandas (round 5)
+        # re-ran the Gopher tokenize expression on the far side for one
+        # extra full regexp pass per surviving row.
         pre = (stratified_sample(docs, fractions, strata_col=strata_col,
                                  id_col=id_col,
                                  default_fraction=default_fraction)
                .filter(g["passes"]
-                       & (textstats.model_margin_expr(text_col) > mq_margin)))
+                       & (textstats.model_margin_expr(text_col) > mq_margin))
+               .withColumn("n_words", g["n_words"]))
         kept = (contamination_flags_rowlocal(
                     pre, benchmark, n=n, id_col=id_col, text_col=text_col,
                     passthrough=True)
-                .filter(F.col("contamination") <= contamination_threshold)
-                .withColumn("n_words", g["n_words"]))
+                .filter(F.col("contamination") <= contamination_threshold))
         keep = (dedup.exact_dedup(docs, id_col=id_col, text_col=text_col)
                 .select(F.col("keep_id").alias(id_col)))
         kept = kept.join(keep, id_col)
