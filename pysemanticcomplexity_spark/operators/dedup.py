@@ -528,11 +528,18 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3,
                       F.col("fingerprint").alias("fp_a"), "blk", "val")
     b = blocks.select(F.col("id").alias("id_b"),
                       F.col("fingerprint").alias("fp_b"), "blk", "val")
-    cand = (a.join(b, ["blk", "val"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "fp_a", "fp_b").distinct())
+    # the Hamming test runs map-side on the raw join output, BEFORE the
+    # pair dedup: hamming is a pure function of the fingerprints (so
+    # identical for every block-copy of a pair, and filter-then-distinct
+    # == distinct-then-filter), while the round-5 order shuffled every
+    # above-threshold candidate — the vast majority — through a distinct
+    # over 4 columns just to drop it afterwards. The dedup now carries
+    # only (id_a, id_b, hamming) for surviving pairs.
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (cand.select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    return (a.join(b, ["blk", "val"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 50,
