@@ -425,13 +425,19 @@ def pos_lexical_features(tagged: DataFrame,
     keep = ~((F.length(pos) == 0)
              | (F.instr(F.lit(_PUNCT), pos) > 0)
              | pos.isin("sent", "sym"))
-    t = (tagged
-         .withColumn("_keep", keep)
+    base = tagged.withColumn("_keep", keep)
+    # -ly stem without a per-row regexp: 'ly$' strips one trailing 'ly',
+    # which endswith + substring reproduces exactly (incl. word == 'ly'
+    # -> ''), at a fraction of the regex engine's per-row cost
+    ly_stem = F.when(word.endswith("ly"),
+                     F.substring(word, 1, F.length(word) - 2)) \
+        .otherwise(word)
+    t = (base
          .join(F.broadcast(freq_df), "word", "left")
          .join(F.broadcast(adj_df.withColumnRenamed("_adj", "_adj_w")),
                word == F.col("aw"), "left").drop("aw")
          .join(F.broadcast(adj_df.withColumnRenamed("_adj", "_adj_s")),
-               F.regexp_replace(word, "ly$", "") == F.col("aw"), "left")
+               ly_stem == F.col("aw"), "left")
          .drop("aw"))
 
     kp = F.col("_keep")
@@ -481,7 +487,12 @@ def pos_lexical_features(tagged: DataFrame,
         F.sum(F.col(f"_{name}").cast("long")).alias(name)
         for name, _cond, _ in type_conds])
 
-    ordered = (t.groupBy("id").agg(
+    # the positional branch needs only (id, line_idx, tok_idx, word,
+    # _keep) — building it from `base` rather than `t` stops Spark from
+    # re-evaluating the tokenize/tag tree AND the three broadcast joins a
+    # second time (left joins are not pruned even when their columns go
+    # unused; the round-5 plan carried two full copies of the upstream)
+    ordered = (base.groupBy("id").agg(
         F.count_distinct("line_idx").alias("sentences"),
         F.array_sort(F.collect_list(F.when(
             kp, F.struct("line_idx", "tok_idx", "word")))).alias("_lm")))
