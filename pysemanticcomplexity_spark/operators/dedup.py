@@ -770,6 +770,14 @@ def duplicate_gram_positions(docs: DataFrame, n: int = 20,
     partial-aggregated count-distinct per hash + an equi-join back."""
     spans = ngram_span_hashes(docs, n, id_col=id_col, text_col=text_col,
                               hash_fn=hash_fn, stride=stride)
+    # ONE explicit repartition on the gram hash, shared by both consumers
+    # (the >=min_docs aggregate and the positional join back): without
+    # it, each consumer re-evaluated the whole two-level hashing pipeline
+    # — the exchanges differed (partial-agg vs broadcast-probe side), so
+    # ReusedExchange could not kick in. Both downstream ops are satisfied
+    # by hashpartitioning(h), so neither adds an exchange of its own, and
+    # the hash pipeline runs exactly once.
+    spans = spans.repartition("h")
     dup_h = (spans.groupBy("h")
              .agg(F.count_distinct("id").alias("_nd"))
              .filter(F.col("_nd") >= min_docs)
