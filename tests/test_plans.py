@@ -120,3 +120,16 @@ def test_mix_recipe_plan_shapes(spark):
     assert plans.count_shuffles(training_order(df, num_ranges=8)) == 1
     assert plans.count_shuffles(
         take_token_budget(df, {"src0": 500}, num_ranges=8)) == 1
+
+
+def test_negative_samples_no_single_partition_window(spark):
+    """The vocab index must never be a global ORDER BY window: the plan
+    must contain no Exchange SinglePartition (round-6 two-phase
+    range-partitioned rank)."""
+    from pysemanticcomplexity_spark.operators.kg_analytics import (
+        negative_samples)
+    kb = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i % 7}") for i in range(50)],
+        "subj string, pred string, obj string")
+    plan = plans.executed_plan(negative_samples(kb, k=2))
+    assert "SinglePartition" not in plan, plan
