@@ -795,6 +795,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "possibly_seen"))
     q["D10_bloom_novelty"] = d10_bloom_novelty
 
+    def d10b_bloom_sharded(spark, sf_dir):
+        # the beyond-broadcast-capacity Bloom path: the word table stays a
+        # DataFrame and probes route to their shard by an equi-join on the
+        # word index — flags bit-for-bit equal to D10's broadcast path
+        # (same oracle SQL), proven by tests/test_dedup.py equality
+        from pysemanticcomplexity_spark.operators import dedup
+        d = _docs(spark, sf_dir)
+        prior = d.filter(F.col("doc_id") % 4 != 3)
+        words = dedup.bloom_word_table(prior, n_bits=1 << 18, n_hashes=3,
+                                       hash_fn="poly")
+        return (dedup.bloom_flag_sharded(d, words, n_bits=1 << 18,
+                                         n_hashes=3, hash_fn="poly")
+                .select("doc_id", "possibly_seen"))
+    q["D10b_bloom_sharded"] = d10b_bloom_sharded
+
     def t7_hll_registers(spark, sf_dir):
         # deterministic HLL register table over the text keys (poly family
         # so DuckDB rebuilds every register bit-for-bit); the estimate
@@ -3911,6 +3926,10 @@ SELECT doc_id,
          AS possibly_seen
 FROM newpos GROUP BY doc_id
 """
+
+    # D10b: the sharded probe is defined to be bit-identical to the
+    # broadcast probe (equality-tested), so its oracle is D10's SQL
+    o["D10b_bloom_sharded"] = o["D10_bloom_novelty"]
 
     # T7: HLL registers replayed in SQL — bucket/rho from the same affine
     # poly family; the rho source combines TWO affine values (~2^60 range:

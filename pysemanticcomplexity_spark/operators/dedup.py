@@ -108,6 +108,7 @@ __all__ = ["normalize_text", "exact_key_cols", "exact_dedup", "shingles",
            "duplicate_gram_positions", "duplicate_spans",
            "duplicate_span_stats", "reliable_checkpointer", "scattered_poly_expr",
            "bloom_build", "bloom_flag", "bloom_novel",
+           "bloom_word_table", "bloom_flag_sharded",
            "hll_registers", "hll_estimate", "approx_distinct"]
 
 
@@ -863,13 +864,23 @@ def duplicate_span_stats(docs: DataFrame, n: int = 20, min_docs: int = 2, *,
 # Bloom-filter incremental dedup: new crawl vs corpus history, WITHOUT a join
 # ---------------------------------------------------------------------------
 # The scale problem this solves: deduplicating a fresh crawl batch against a
-# trillion-key corpus HISTORY. A join (even semi/anti) shuffles the batch
-# against the full historical key set; a Bloom filter compresses the history
-# into an O(n_bits) bitmap that is built distributed, collected once, and
-# broadcast — the probe is then a zero-shuffle scan-side map. Standard crawl
-# frontier / CCNet bookkeeping semantics: NO false negatives (every true
-# duplicate is flagged), a tunable false-positive fraction of novel rows is
-# over-flagged (n_bits=2^26, n_hashes=5 at 10^9 keys -> FP ~0.1%).
+# large corpus HISTORY. A join (even semi/anti) shuffles the batch against
+# the full historical key set; a Bloom filter compresses the history into an
+# O(n_bits) bitmap that is built distributed, collected once, and broadcast —
+# the probe is then a zero-shuffle scan-side map. Standard crawl frontier /
+# CCNet bookkeeping semantics: NO false negatives (every true duplicate is
+# flagged), a tunable false-positive fraction of novel rows is over-flagged.
+#
+# Capacity arithmetic (round-6 correction of a round-5 comment that was off
+# by orders of magnitude): FP ~= (1 - e^(-k*n/m))^k; ~1% FP needs ~9.6
+# bits/key and ~0.1% needs ~14.4 bits/key (k ~= 0.7*m/n hashes). So 10^9
+# keys at 0.1% FP need m ~= 2^34 bits (~2 GiB) — NOT 2^26 — and the honest
+# ceiling of the collect+broadcast bitmap is ~10^10 keys (an 8-16 GiB
+# bitmap, bounded by driver/executor broadcast memory). Beyond that, use
+# the SHARDED variant below (bloom_flag_sharded): the word table stays a
+# DataFrame partitioned by word index, probe keys route to their shard by
+# an equi-join on word index — no broadcast, no driver bitmap, capacity
+# bounded by cluster storage instead.
 
 BLOOM_DEFAULT_BITS = 1 << 23     # 8 Mbit; build/probe cost is O(1) per key
 BLOOM_DEFAULT_HASHES = 5
@@ -1013,6 +1024,57 @@ def bloom_novel(new_docs: DataFrame, prior_docs: DataFrame,
     flagged = bloom_flag(new_docs, bm, text_col=text_col,
                          n_hashes=n_hashes, hash_fn=hash_fn)
     return flagged.filter(~F.col("possibly_seen")).drop("possibly_seen")
+
+
+def bloom_word_table(docs: DataFrame, text_col: str = "text",
+                     n_bits: int = BLOOM_DEFAULT_BITS,
+                     n_hashes: int = BLOOM_DEFAULT_HASHES,
+                     hash_fn: str = "xxhash") -> DataFrame:
+    """The Bloom word table ``(w, word)`` as a DATAFRAME — the sharded
+    form of :func:`bloom_build` for histories past the collect+broadcast
+    ceiling (~10^10 keys; see the capacity note above). Same distributed
+    bit_or build, but the words never leave the cluster: persist or
+    write them partitioned/bucketed by ``w`` and probe with
+    :func:`bloom_flag_sharded`. ``_words_to_bitmap(collect())`` of this
+    table equals :func:`bloom_build`'s bitmap bit-for-bit (tested)."""
+    _check_bloom_params(n_bits, n_hashes)
+    pos = (_with_bloom_positions(docs.select(text_col), text_col,
+                                 n_bits, n_hashes, hash_fn)
+           .select(F.explode("__bloom_pos").alias("p")))
+    return _bloom_word_table(pos)
+
+
+def bloom_flag_sharded(docs: DataFrame, words: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_bits: int = BLOOM_DEFAULT_BITS,
+                       n_hashes: int = BLOOM_DEFAULT_HASHES,
+                       hash_fn: str = "xxhash",
+                       flag_col: str = "possibly_seen") -> DataFrame:
+    """Probe against a :func:`bloom_word_table` DataFrame WITHOUT a
+    driver bitmap or broadcast — the beyond-broadcast-capacity path.
+
+    Each document's ``n_hashes`` bit positions explode to probe rows
+    routed to their word shard by an equi-join on the word index
+    (``w = p DIV 64``) — the shuffle carries (id, position) pairs, ~16
+    bytes per probe, never the documents or the history; a missing word
+    row means an all-zero word (left join + coalesce). Per-document
+    conjunction is one partial-aggregated ``bool_and``. Flags are
+    bit-for-bit identical to :func:`bloom_flag` over the corresponding
+    bitmap (tested). Requires a non-null unique ``id_col`` to join the
+    verdicts back (the broadcast path needs none — that asymmetry is
+    the price of not shipping the bitmap)."""
+    _check_bloom_params(n_bits, n_hashes)
+    probes = (_with_bloom_positions(docs.select(id_col, text_col), text_col,
+                                    n_bits, n_hashes, hash_fn)
+              .select(id_col, F.explode("__bloom_pos").alias("p"))
+              .select(id_col, "p", (F.col("p") / 64).cast("long").alias("w")))
+    bit = F.expr("shiftleft(1L, cast(p % 64 as int))")
+    hit = (probes.join(words, "w", "left")
+           .select(id_col,
+                   (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(bit)
+                    != 0).alias("_hit")))
+    flags = hit.groupBy(id_col).agg(F.bool_and("_hit").alias(flag_col))
+    return docs.join(flags, id_col, "left")
 
 
 # ---------------------------------------------------------------------------

@@ -808,3 +808,27 @@ def test_hll_validates(spark):
         dedup.hll_registers(df, hash_fn="nope")
     with _pytest.raises(ValueError, match="p must"):
         dedup.hll_estimate([], p=50)
+
+
+def test_bloom_sharded_equals_broadcast(spark):
+    """The sharded word-table path must be bit-for-bit identical to the
+    collect+broadcast path: same word table, same per-doc flags — for
+    both hash families."""
+    import numpy as np
+    docs = _bloom_corpus(spark)
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    for hash_fn in ("xxhash", "poly"):
+        bm = dedup.bloom_build(prior, n_bits=1 << 16, n_hashes=4,
+                               hash_fn=hash_fn)
+        words = dedup.bloom_word_table(prior, n_bits=1 << 16, n_hashes=4,
+                                       hash_fn=hash_fn)
+        bm2 = dedup._words_to_bitmap(words.collect(), 1 << 16)
+        assert np.array_equal(bm, bm2), hash_fn
+        a = {r["doc_id"]: r["possibly_seen"] for r in
+             dedup.bloom_flag(docs, bm, n_hashes=4,
+                              hash_fn=hash_fn).collect()}
+        b = {r["doc_id"]: r["possibly_seen"] for r in
+             dedup.bloom_flag_sharded(docs, words, n_hashes=4,
+                                      n_bits=1 << 16,
+                                      hash_fn=hash_fn).collect()}
+        assert a == b, hash_fn
