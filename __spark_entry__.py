@@ -1539,11 +1539,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d3_minhash(spark, sf_dir):
         # portable-hash variant of the full minhash-LSH pipeline so DuckDB
         # can replicate it bucket-for-bucket (the xxhash64 production default
-        # is covered by the recall-vs-exact pytest in tests/test_dedup.py)
+        # is covered by the recall-vs-exact pytest in tests/test_dedup.py).
+        # Signatures come from the fused two-level token-hash path —
+        # bit-identical to shingles()+minhash_signatures(hash_fn='poly')
+        # (equality-tested) with ~n x less per-char fold work.
         from pysemanticcomplexity_spark.operators import dedup
         d = _docs(spark, sf_dir)
-        sh = dedup.shingles(d)
-        sigs = dedup.minhash_signatures(sh, num_hashes=32, hash_fn="poly")
+        sigs = dedup.minhash_signatures_poly_tokens(d, n=3, num_hashes=32)
         return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32,
                                          hash_fn="poly")
     q["D3_minhash_lsh"] = d3_minhash

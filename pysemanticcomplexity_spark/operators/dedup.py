@@ -204,6 +204,59 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32,
                       .alias("sig"))
 
 
+def minhash_signatures_poly_tokens(docs: DataFrame, n: int = 3,
+                                   num_hashes: int = 32,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text") -> DataFrame:
+    """``shingles(docs, n) |> minhash_signatures(hash_fn='poly')`` fused
+    into one pass with TWO-LEVEL hashing — bit-identical signatures
+    (equality-tested), ~2x less per-char work.
+
+    The round-5 chain char-folded every SHINGLE STRING: with n-token
+    shingles each character is folded n times through an allocated
+    concat. Here each token is folded once into
+    ``(h, w) = (poly(tok), 31^len(tok) mod p)`` and the shingle hash
+    composes by the same fold identity as textstats._bucket_expr:
+    ``poly(a||' '||b) = ((poly(a)*31 + 32) % p * 31^len(b) + poly(b)) % p``.
+    Signature minima are unaffected by shingle multiplicity (min is
+    idempotent), so skipping shingles()' array_distinct changes nothing.
+    The (h, w) array is bound per gram position as a lambda variable
+    (element_at on an attribute — O(1)); positions explode and one
+    partial-aggregated groupBy(id) takes the seeded affine minima
+    exactly as minhash_signatures does."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda t: F.aggregate(
+                F.split(t, ""),
+                F.struct(F.lit(0).cast("long").alias("h"),
+                         F.lit(1).cast("long").alias("w")),
+                lambda acc, ch: F.struct(
+                    ((acc["h"] * 31 + F.ascii(ch)) % POLY_MOD).alias("h"),
+                    ((acc["w"] * 31) % POLY_MOD).alias("w")))).alias("_tp"))
+    tp = F.col("_tp")
+    idx = F.when(F.size(tp) >= n, F.sequence(F.lit(1), F.size(tp) - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def gram_hash(i):
+        g = F.element_at(tp, i)["h"]
+        for j in range(1, n):
+            g = (((g * 31 + 32) % POLY_MOD)
+                 * F.element_at(tp, i + j)["w"]
+                 + F.element_at(tp, i + j)["h"]) % POLY_MOD
+        return g
+
+    grams = (base.select("id", F.explode(idx).alias("_i"), "_tp")
+             .select("id", gram_hash(F.col("_i")).alias("h")))
+    hashes = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(POLY_MOD))
+              .alias(f"h{i}")
+              for i, (a, b) in enumerate(minhash_seeds(num_hashes))]
+    agg = grams.groupBy("id").agg(*hashes)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, *,
                         sig_len: int, hash_fn: str = "xxhash64",
                         max_bucket_size: int = None) -> DataFrame:

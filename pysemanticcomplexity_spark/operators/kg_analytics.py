@@ -85,7 +85,13 @@ def entity_cooccurrence(mentions: DataFrame, doc_col: str = "doc_id",
     but recomputes the annotator otherwise — pass
     ``persist_mentions=True`` to cache the projection (small rows: doc
     id + uri) for the duration of the job. Left off by default so
-    benchmarks time honest recomputation and callers own cache policy.
+    benchmarks time honest recomputation and callers own cache policy —
+    including RELEASE: the persisted projection is not reachable from
+    this function's return value, so a long-lived session that calls
+    this repeatedly with ``persist_mentions=True`` should
+    ``spark.catalog.clearCache()`` (or scope a fresh session) between
+    calls, or executor storage accumulates evicted-on-pressure cached
+    RDDs (round-5 advice).
     """
     pm = (mentions
           .select(F.col(doc_col).alias("_doc"), F.col(uri_col).alias("_uri"),
@@ -437,7 +443,12 @@ def link_prediction_common_neighbors(cooc: DataFrame, min_common: int = 1,
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
-    e = (cooc.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # normalize to src < dst with least/greatest (as triangle_stats does
+    # for its closing set): a caller passing BOTH (a, b) and (b, a)
+    # would otherwise double degrees and slip reversed true edges past
+    # the final anti-join (round-5 advice)
+    e = (cooc.select(F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                     F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
          .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
                  & (F.col("a") != F.col("b")))
          .distinct())

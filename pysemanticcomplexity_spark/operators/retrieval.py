@@ -63,9 +63,16 @@ def term_stats(docs: DataFrame, id_col: str = "doc_id",
 def bm25_topk(docs: DataFrame, query: List[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Okapi BM25 top-k documents for a bag-of-terms query:
+    """Okapi BM25 top-k documents for a SET-of-terms query:
     ``(doc_id, n_match_terms, score)`` ordered by score desc, doc_id asc
     (deterministic tie-break), limited to ``k`` rows.
+
+    Query-term multiplicity is deliberately ignored (the ``isin`` filter
+    + per-(doc, term) grouping collapse repeats), i.e. Okapi's qtf
+    weight is fixed at 1 — the common practice for short keyword
+    queries, where repeating a term is noise rather than emphasis.
+    Callers needing qtf weighting can score each term separately and
+    weight the sums; the operator's contract is the set semantics.
 
     score = sum over matched query terms of
     ``ln(idf_ratio) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with

@@ -832,3 +832,17 @@ def test_bloom_sharded_equals_broadcast(spark):
                                       n_bits=1 << 16,
                                       hash_fn=hash_fn).collect()}
         assert a == b, hash_fn
+
+
+def test_minhash_two_level_signatures_identical(spark, docs):
+    """The fused two-level token-hash path must produce bit-identical
+    poly signatures to shingles() |> minhash_signatures(hash_fn='poly')
+    (the round-6 D3 optimization)."""
+    sh = dedup.shingles(docs)
+    a = {r["id"]: list(r["sig"]) for r in
+         dedup.minhash_signatures(sh, num_hashes=16,
+                                  hash_fn="poly").collect()}
+    b = {r["id"]: list(r["sig"]) for r in
+         dedup.minhash_signatures_poly_tokens(
+             docs, n=3, num_hashes=16).collect()}
+    assert a == b
