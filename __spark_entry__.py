@@ -69,8 +69,37 @@ mentions AS (SELECT * FROM m0 WHERE occurrences > 0)
 """
 
 
+def _read_scaled(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with SCALE-ADAPTIVE scan parallelism.
+
+    The bench inputs are single-row-group files, and parquet cannot split
+    a row group: the scan collapses to ONE task and serializes every
+    pre-exchange computation (regexps, folds, Python kernels) on one
+    core regardless of split-size configs (guide §2.5, unsplittable
+    input). A corpus-scale input has thousands of row groups and must
+    NOT pay a blanket text shuffle — so the round-robin repartition is
+    applied only when the scan is narrower than the cluster. Row
+    contents are untouched; only placement changes.
+
+    Used ONLY by queries whose pre-exchange per-row work dominates
+    (the gazetteer regexp scan, char-fold hashing, Python parse
+    kernels): for cheap scans the extra exchange + local sort costs
+    more than the parallelism buys (measured: W1/D1/C-series regressed
+    ~0.3-0.5 s under a blanket repartition, while S7/L3b/QF4/T3 gained
+    40-80% under the targeted one)."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read_scaled(spark, f"{sf_dir}/documents.parquet")
 
 
 def _events(spark, sf_dir):
@@ -88,7 +117,7 @@ def _mentions_df(spark, sf_dir) -> DataFrame:
     compiled once per task, not per row, and the whole expression stays in
     one codegen stage) — stacked into an array of structs and exploded.
     """
-    d = _docs(spark, sf_dir)
+    d = _docs_scaled(spark, sf_dir)
     lower = F.lower(F.col("text"))
     entries = [
         F.struct(F.lit(uri).alias("uri"),
@@ -881,7 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def t2_quality(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.textstats import quality_score
-        s = quality_score(_docs(spark, sf_dir))
+        s = quality_score(_docs_scaled(spark, sf_dir))
         return s.select("id", "n_chars", "n_tokens",
                         F.round("punct_ratio", 9).alias("punct_ratio"),
                         F.round("stop_ratio", 9).alias("stop_ratio"),
@@ -890,7 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def t3_fp(spark, sf_dir):
         from pysemanticcomplexity_spark.operators.textstats import fingerprint
-        return fingerprint(_docs(spark, sf_dir))
+        return fingerprint(_docs_scaled(spark, sf_dir))
     q["T3_fingerprint"] = t3_fp
 
     def t5_bpe(spark, sf_dir):
@@ -973,7 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dense weights, Arrow-batched gather — operators/textstats.py)
         from pysemanticcomplexity_spark.operators.textstats import (
             model_quality_score)
-        s = model_quality_score(_docs(spark, sf_dir))
+        s = model_quality_score(_docs_scaled(spark, sf_dir))
         return s.select("id", "n_feats", "logit_sum",
                         F.round("margin", 9).alias("margin"),
                         F.round("prob", 6).alias("prob"), "mq_pass")
@@ -1020,7 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 13 patterns independently in SQL (recursive CTE for dominance)
         from pysemanticcomplexity_spark.operators.syntactic import (
             l3_template_features)
-        return l3_template_features(_docs(spark, sf_dir))
+        return l3_template_features(_docs_scaled(spark, sf_dir))
     q["L3_syntactic"] = l3_syntactic
 
     def l3b_syntactic_text(spark, sf_dir):
@@ -1031,7 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_syntactic.py golden trees + engine/SQL equality)
         from pysemanticcomplexity_spark.operators.syntactic import (
             text_syntactic_features)
-        return text_syntactic_features(_docs(spark, sf_dir))
+        return text_syntactic_features(_docs_scaled(spark, sf_dir))
     q["L3b_syntactic_text"] = l3b_syntactic_text
 
     def mm1_meta(spark, sf_dir):
@@ -1544,7 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-identical to shingles()+minhash_signatures(hash_fn='poly')
         # (equality-tested) with ~n x less per-char fold work.
         from pysemanticcomplexity_spark.operators import dedup
-        d = _docs(spark, sf_dir)
+        d = _docs_scaled(spark, sf_dir)
         sigs = dedup.minhash_signatures_poly_tokens(d, n=3, num_hashes=32)
         return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32,
                                          hash_fn="poly")

@@ -43,7 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame,
               direction: str = "backward",
               tolerance: str = None,
               tiebreak: str = None,
-              rsuffix: str = "_right") -> DataFrame:
+              rsuffix: str = "_right",
+              hub_bucket_width: float = None) -> DataFrame:
     """For every left row, the single matching right row per key:
     ``direction='backward'`` -> latest right with right_ts <= left_ts;
     ``'forward'`` -> earliest right with right_ts >= left_ts.
@@ -62,11 +63,25 @@ def asof_join(left: DataFrame, right: DataFrame,
     sorts before the left row at the same instant).
 
     Skew ceiling (measured, BENCH/SKEW.md): AQE splits skewed JOIN
-    partitions but NOT window partitions, so a hub key's whole timeline
-    sorts serially in one task (90%-one-key = 2.5x uniform wall at 2M
-    rows). When one key dominates, pre-partition its timeline into
-    coarse chunks and seed each chunk with the previous chunk's last
-    right row — the same operator composed per chunk.
+    partitions but NOT window partitions, so by default a hub key's
+    whole timeline sorts serially in one task (90%-one-key = 2.5x
+    uniform wall at 2M rows).
+
+    ``hub_bucket_width`` (opt-in, round-6) is the mitigation: with a
+    width W in the timestamp's own units (timestamps are cast to epoch
+    seconds), the window partitions by (key, floor(ts/W)) — a hub key's
+    timeline splits across its time buckets and sorts in parallel. A
+    left row missing an in-bucket match takes the carry-in: the best
+    right payload of any EARLIER bucket (later for forward), computed
+    over per-(key, bucket) summary rows — bucket-count-sized, never
+    timeline-sized — and attached by an ordinary (key, bucket) join
+    (which AQE *can* skew-split). Results are identical to the default
+    path (equality-tested incl. ties and unmatched rows) with one
+    caveat: with ``direction='forward'`` a NULL-valued ``tiebreak``
+    column is not supported under bucketing (the carry aggregate cannot
+    reproduce desc_nulls_first ordering); pass a non-null tiebreak.
+    Pick W near the span that holds a few thousand rows of the hottest
+    key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', "
@@ -114,13 +129,52 @@ def asof_join(left: DataFrame, right: DataFrame,
               F.col("_tb").asc_nulls_first()] if asc else
              [F.col("_ts").desc(), F.col("_is_right").desc(),
               F.col("_tb").desc_nulls_first()])
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = F.last("_pay", ignorenulls=True).over(w)
-
-    out = (r_side.unionByName(l_side)
-           .withColumn("_m", matched)
-           .filter(F.col("_is_right") == 0))
+    u = r_side.unionByName(l_side)
+    if hub_bucket_width is None:
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+               .filter(F.col("_is_right") == 0))
+    else:
+        if hub_bucket_width <= 0:
+            raise ValueError(f"hub_bucket_width must be > 0, "
+                             f"got {hub_bucket_width}")
+        u = u.withColumn(
+            "_bkt", F.floor(F.col("_ts").cast("double")
+                            / F.lit(float(hub_bucket_width))).cast("long"))
+        # in-bucket pass: same window, partitioned by (key, BUCKET) —
+        # a hub key's timeline now sorts in parallel across its buckets
+        wb = (Window.partitionBy(*keys, "_bkt").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        lefts = (u.withColumn("_m0", F.last("_pay", ignorenulls=True)
+                              .over(wb))
+                 .filter(F.col("_is_right") == 0))
+        # carry-in: one summary row per (key, bucket) holding the
+        # bucket's best right payload; markers for every left bucket
+        # sort BEFORE their bucket's summary so the running carry sees
+        # strictly-earlier buckets only
+        best = (F.max_by("_pay", F.struct("_ts", "_tb")) if asc
+                else F.min_by("_pay", F.struct("_ts", "_tb")))
+        per_b = (u.filter(F.col("_is_right") == 1)
+                 .groupBy(*keys, "_bkt")
+                 .agg(best.alias("_blast"))
+                 .withColumn("_is_sum", F.lit(1)))
+        markers = (lefts.select(*keys, "_bkt").distinct()
+                   .withColumn("_blast",
+                               F.lit(None).cast(per_b.schema["_blast"]
+                                                .dataType))
+                   .withColumn("_is_sum", F.lit(0)))
+        bkt_ord = F.col("_bkt").asc() if asc else F.col("_bkt").desc()
+        wc = (Window.partitionBy(*keys)
+              .orderBy(bkt_ord, F.col("_is_sum").asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (per_b.unionByName(markers)
+                 .withColumn("_carry",
+                             F.last("_blast", ignorenulls=True).over(wc))
+                 .filter(F.col("_is_sum") == 0)
+                 .select(*keys, "_bkt", "_carry"))
+        out = (lefts.join(carry, keys + ["_bkt"], "left")
+               .withColumn("_m", F.coalesce("_m0", "_carry")))
     if tolerance is not None:
         bound = (F.col("_ts") - F.expr(f"INTERVAL {tolerance}") if asc
                  else F.col("_ts") + F.expr(f"INTERVAL {tolerance}"))

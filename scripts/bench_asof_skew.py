@@ -39,17 +39,25 @@ def main():
     spark = get_spark(app_name="asof-skew", master="local[16]",
                       shuffle_partitions=32)
     out = {}
-    for label, skew in (("uniform", False), ("skew90", True)):
+    # widths: ts spans [0, 1e6); 20_000 gives ~50 buckets, splitting the
+    # 90% hub key's timeline into ~50 parallel window partitions
+    for label, skew, width in (("uniform", False, None),
+                               ("skew90", True, None),
+                               ("uniform_bucketed", False, 20_000.0),
+                               ("skew90_bucketed", True, 20_000.0)):
         left, right = build(spark, n, skew)
         best = None
         for _ in range(2):
             t0 = time.time()
-            asof_join(left, right, on="key") \
+            asof_join(left, right, on="key", tiebreak="rid",
+                      hub_bucket_width=width) \
                 .write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         out[label] = round(best, 3)
     out["ratio"] = round(out["skew90"] / out["uniform"], 2)
+    out["ratio_bucketed"] = round(out["skew90_bucketed"]
+                                  / out["uniform"], 2)
     out["rows"] = n
     print(json.dumps(out))
     spark.stop()

@@ -68,7 +68,12 @@ def test_sql_mention_model_single_codegen_stage(spark):
     df = E.queries()["S7_mentions_sql"](spark, "/root/testdata/sf0.001")
     plan = plans.executed_plan(df)
     assert "EvalPython" not in plan and "InPandas" not in plan
-    # filter + explode + project collapse into codegen over the parquet scan
+    # the scale-adaptive scan repartition (round 6) makes the plan
+    # adaptive, which hides codegen markers until THIS df's own query
+    # execution ran (a sink write executes a separate QE) — collect,
+    # then assert the FINAL plan: filter + explode + project still
+    # collapse into one codegen span (now above the exchange)
+    df.collect()
     assert plans.has_wholestage_codegen(df)
     assert plans.read_schema_of_scan(df) != "" and \
         "text" in plans.read_schema_of_scan(df)

@@ -264,3 +264,38 @@ def test_asof_randomized_vs_merge_asof(spark, seed, direction):
     want = {int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
             for row in m.itertuples()}
     assert got == want
+
+
+def test_asof_hub_bucketed_equals_default(spark):
+    """hub_bucket_width (the round-6 skew mitigation) must reproduce the
+    default path exactly: matches, ties, unmatched rows, tolerance —
+    both directions, several widths (incl. widths splitting mid-run)."""
+    import random
+    rng = random.Random(11)
+    lrows = [(i, f"k{rng.randrange(4)}", float(rng.randrange(0, 300)))
+             for i in range(400)]
+    rrows = [(1000 + i, f"k{rng.randrange(4)}",
+              float(rng.randrange(0, 300)), float(i))
+             for i in range(300)]
+    left = spark.createDataFrame(lrows, "lid long, key string, ts double")
+    right = spark.createDataFrame(
+        rrows, "rid long, key string, ts double, payload double")
+    for direction in ("backward", "forward"):
+        base = asof_join(left, right, on="key", direction=direction,
+                         tiebreak="rid").collect()
+        want = sorted(map(tuple, base))
+        for width in (7.0, 50.0, 1000.0):
+            got = asof_join(left, right, on="key", direction=direction,
+                            tiebreak="rid",
+                            hub_bucket_width=width).collect()
+            assert sorted(map(tuple, got)) == want, (direction, width)
+
+
+def test_asof_hub_bucketed_rejects_bad_width(spark):
+    left = spark.createDataFrame([(1, "a", 1.0)],
+                                 "lid long, key string, ts double")
+    right = spark.createDataFrame([(2, "a", 0.5, 9.0)],
+                                  "rid long, key string, ts double, v double")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hub_bucket_width"):
+        asof_join(left, right, on="key", hub_bucket_width=0)
