@@ -50,10 +50,10 @@ def edges(shape):
                        F.greatest(a, b).alias("dst"))
             .filter(F.col("src") != F.col("dst")).distinct())
 
-def docs16():
+def docs64():
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
         .select("doc_id", "text")
-    return (base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    return (base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(63))))
             .select((F.col("doc_id") + F.col("r").cast("long") * 10_000_000)
                     .alias("doc_id"), "text")
             .repartition(cpus * 4))
@@ -66,7 +66,7 @@ elif job == "linkpred":
         edges(shape), min_common=2, max_degree=64)
     n_in = E
 elif job == "bm25_postings":
-    big = docs16()
+    big = docs64()
     n_in = big.count()
     df = lambda: term_stats(big)
 else:
