@@ -259,11 +259,23 @@ def build_triples(resources: DataFrame, closure: DataFrame,
     return out
 
 
-def build_nodes(resources: DataFrame, triples: DataFrame) -> DataFrame:
-    """Node table with attrs; class/root nodes carry nulls (builders.py:199-225)."""
-    rsc_nodes = resources.select(
+def resource_nodes(resources: DataFrame) -> DataFrame:
+    """The RESOURCE rows of the node table — a pure projection of
+    resources, no shuffle. The vectorizer needs only these: class/root
+    nodes are exactly the triple endpoints absent from the resource set,
+    and the feature kernel re-adds unknown endpoints as attribute-less
+    non-resource nodes with the same values the full node table carries
+    (False / NULL->NaN), so features(resource_nodes, triples) ==
+    features(build_nodes(...), triples) — asserted in
+    tests/test_vectorize.py."""
+    return resources.select(
         "url", F.col("uri").alias("node_id"), F.lit(True).alias("is_resource"),
         "count", "offset", "nb_types", "nb_links_in", "nb_links_out")
+
+
+def build_nodes(resources: DataFrame, triples: DataFrame) -> DataFrame:
+    """Node table with attrs; class/root nodes carry nulls (builders.py:199-225)."""
+    rsc_nodes = resource_nodes(resources)
     endpoint = (triples.select("url", F.col("obj").alias("node_id"))
                 .unionByName(
                     triples.filter(F.col("pred") == PRED_SUBCLASS_OF)

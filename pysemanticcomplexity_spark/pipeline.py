@@ -109,7 +109,15 @@ class KGPipeline:
         nodes = graph.build_nodes(resources, triples)
         if self.persist_intermediate:
             nodes = nodes.persist()
-        features = vectorize.vectorize(nodes, triples, doc_words)
+        # the vectorizer consumes only the RESOURCE node rows (a shuffle-
+        # free projection of resources): the class/root rows of `nodes`
+        # are triple endpoints the kernel re-adds with identical
+        # attributes, so the features path skips build_nodes' distinct +
+        # anti-join materialization (round 6; ~2 s of the staged features
+        # wall at sf0.1). `nodes` itself stays exposed (and lazily
+        # persisted) for PipelineResult consumers.
+        features = vectorize.vectorize(graph.resource_nodes(resources),
+                                       triples, doc_words)
         return PipelineResult(mentions=mentions, doc_words=doc_words,
                               concept_info=info, resources=resources,
                               triples=triples, nodes=nodes, features=features)

@@ -245,3 +245,26 @@ def test_vectorize_namespace_subset(spark, pipeline_result):
         f = full[r["filename"]]
         for c in cols[1:]:
             assert _close(r[c], f[c], 1e-12), (r["filename"], c, r[c], f[c])
+
+
+def test_resource_nodes_only_features_identical(spark, pipeline_result):
+    """features over resource_nodes (the round-6 features path) must equal
+    features over the full build_nodes table: the kernel re-adds class/
+    root endpoints with the same attribute values."""
+    import math
+
+    from pysemanticcomplexity_spark.operators import graph
+    from pysemanticcomplexity_spark.operators import vectorize as V
+
+    res = pipeline_result
+    full = {r["filename"]: list(r)[1:] for r in
+            V.vectorize(res.nodes, res.triples, res.doc_words).collect()}
+    slim = {r["filename"]: list(r)[1:] for r in
+            V.vectorize(graph.resource_nodes(res.resources), res.triples,
+                        res.doc_words).collect()}
+    assert set(full) == set(slim)
+    for url in full:
+        for a, b in zip(full[url], slim[url]):
+            au = a is None or (isinstance(a, float) and math.isnan(a))
+            bu = b is None or (isinstance(b, float) and math.isnan(b))
+            assert (au and bu) or abs(a - b) < 1e-9, (url, a, b)
