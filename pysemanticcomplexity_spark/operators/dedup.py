@@ -84,15 +84,22 @@ def reliable_checkpointer(sc, checkpoint_dir):
     when one is given (the session's previous checkpoint directory is
     restored on exit when it had one — Spark cannot unset it otherwise),
     else ``localCheckpoint()`` (fast, executor-local, NOT recomputable
-    after an executor loss)."""
+    after an executor loss).
+
+    The yielded function accepts ``eager=False`` for call sites that want
+    lineage truncation without a synchronous materialization job: the
+    checkpoint then fills on the first downstream job that reads it
+    (identical data/lineage semantics — eagerness only moves WHEN the
+    driver blocks, so a per-iteration ``ckpt`` stops being a per-round
+    driver sync point)."""
     if checkpoint_dir is None:
-        yield (lambda df: df.localCheckpoint())
+        yield (lambda df, eager=True: df.localCheckpoint(eager=eager))
         return
     prev = sc._jsc.sc().getCheckpointDir()
     prev_dir = prev.get() if prev.isDefined() else None
     sc.setCheckpointDir(checkpoint_dir)
     try:
-        yield (lambda df: df.checkpoint())
+        yield (lambda df, eager=True: df.checkpoint(eager=eager))
     finally:
         if prev_dir is not None:
             sc.setCheckpointDir(prev_dir)
